@@ -1,0 +1,670 @@
+"""NumPy image kernels — the physical operators of the OCR engine.
+
+Pure NumPy (no scipy/cv2/PIL in this environment), written to follow
+OpenCV's documented math so behavior matches the reference pipeline
+(/root/reference/src/image.ts) on equivalent inputs:
+
+  grayscale           src/image.ts:236-247  (no-op on 1-channel)
+  bitwise_not         src/image.ts:227-234
+  gaussian_blur       src/image.ts:258-267  (sigma derived from ksize)
+  otsu threshold      src/image.ts:269-278  (THRESH_BINARY_INV+OTSU)
+  adaptive threshold  src/image.ts:280-290  (GAUSSIAN_C, INV, block 19, C 1)
+  erode/dilate        src/image.ts:292-323  (rect kernel, default 2x2)
+  morph open/close    src/image.ts:325-355
+  resize (INTER_AREA) src/image.ts:211-225
+  rotate              src/image.ts:714-727  (INTER_CUBIC, BORDER_REPLICATE)
+  min-area rect       src/contour.ts:130-141 (for skew angle)
+  connected regions   src/image.ts:416-446  (RETR_EXTERNAL analog)
+  clear_padding       src/image.ts:1102-1122
+  clear_by_vertical_thickness src/image.ts:1077-1100
+  hv_thin             src/image.ts:1124-1184
+  zhang_suen          src/image.ts:1033-1070
+
+Convention: images are 2-D uint8 arrays indexed [y, x]; binary images
+use 255 = set (ink), 0 = clear, i.e. white-on-black after thresholding
+(the reference's post-adaptive-threshold polarity).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# --------------------------------------------------------------- basics
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """BGR/RGB -> gray (ITU-R BT.601 weights); no-op if already 2-D."""
+    if img.ndim == 2:
+        return img
+    w = np.array([0.299, 0.587, 0.114])
+    return np.clip(np.round(img[..., :3].astype(np.float64) @ w), 0, 255).astype(np.uint8)
+
+
+def bitwise_not(img: np.ndarray) -> np.ndarray:
+    return (255 - img.astype(np.int16)).astype(np.uint8)
+
+
+def normalize_minmax(img: np.ndarray, lo: int = 0, hi: int = 255) -> np.ndarray:
+    mn, mx = int(img.min()), int(img.max())
+    if mx == mn:
+        return np.full_like(img, lo)
+    scaled = (img.astype(np.float64) - mn) * (hi - lo) / (mx - mn) + lo
+    return np.clip(np.round(scaled), 0, 255).astype(np.uint8)
+
+
+def pad_border(img: np.ndarray, top: int, bottom: int, left: int, right: int,
+               value: int = 0) -> np.ndarray:
+    return np.pad(img, ((top, bottom), (left, right)), constant_values=value)
+
+
+# -------------------------------------------------------- gaussian blur
+
+def _gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """OpenCV getGaussianKernel: sigma<=0 -> 0.3*((k-1)*0.5-1)+0.8; for
+    k in {1,3,5,7} with sigma<=0 OpenCV uses fixed binomial-like kernels."""
+    if sigma <= 0 and ksize in (1, 3, 5, 7):
+        fixed = {
+            1: [1.0],
+            3: [0.25, 0.5, 0.25],
+            5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+            7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+        }
+        return np.array(fixed[ksize])
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+def _reflect101_pad(img: np.ndarray, py: int, px: int) -> np.ndarray:
+    """BORDER_REFLECT_101 (OpenCV default): gfedcb|abcdefgh|gfedcba."""
+    return np.pad(img, ((py, py), (px, px)), mode="reflect")
+
+
+def _sep_filter(img: np.ndarray, ky: np.ndarray, kx: np.ndarray) -> np.ndarray:
+    """Separable correlation with reflect-101 borders, float64 result."""
+    ry, rx = len(ky) // 2, len(kx) // 2
+    padded = _reflect101_pad(img.astype(np.float64), ry, rx)
+    # rows (axis 1) then cols (axis 0)
+    tmp = np.zeros((padded.shape[0], img.shape[1]))
+    for i, w in enumerate(kx):
+        tmp += w * padded[:, i:i + img.shape[1]]
+    out = np.zeros(img.shape)
+    for i, w in enumerate(ky):
+        out += w * tmp[i:i + img.shape[0], :]
+    return out
+
+
+def gaussian_blur(img: np.ndarray, ksize: int = 3, sigma: float = 0.0) -> np.ndarray:
+    k = _gaussian_kernel_1d(ksize, sigma)
+    return np.clip(np.round(_sep_filter(img, k, k)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ threshold
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's threshold: argmax of inter-class variance over the 256-bin
+    histogram. Returns t; binarization rule is (src > t)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    bins = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    mu0_num = np.cumsum(hist * bins)
+    mu_total = mu0_num[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = mu0_num / w0
+        mu1 = (mu_total - mu0_num) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[np.isnan(between)] = -1
+    return int(np.argmax(between))
+
+
+def threshold_binary_inv(img: np.ndarray, thresh: float, maxval: int = 255) -> np.ndarray:
+    """THRESH_BINARY_INV: dst = (src > thresh) ? 0 : maxval."""
+    return np.where(img > thresh, 0, maxval).astype(np.uint8)
+
+
+def otsu_binary_inv(img: np.ndarray) -> np.ndarray:
+    return threshold_binary_inv(img, otsu_threshold(img))
+
+
+def adaptive_threshold_gaussian_inv(
+    img: np.ndarray, block_size: int = 19, c: float = 1.0, maxval: int = 255
+) -> np.ndarray:
+    """ADAPTIVE_THRESH_GAUSSIAN_C + THRESH_BINARY_INV.
+
+    dst = (src > gaussian_local_mean - C) ? 0 : maxval.  The gaussian
+    window uses sigma = 0.3*((block-1)*0.5-1)+0.8 per OpenCV.  This is
+    the binarization that flips black-on-white ink to 255-on-0.
+    """
+    k = _gaussian_kernel_1d(block_size, 0.0)
+    mean = _sep_filter(img, k, k)
+    return np.where(img.astype(np.float64) > mean - c, 0, maxval).astype(np.uint8)
+
+
+# ----------------------------------------------------------- morphology
+
+def _window_reduce(img: np.ndarray, kw: int, kh: int, is_min: bool,
+                   pad_val: int) -> np.ndarray:
+    """Rect-kernel min/max filter with OpenCV anchoring.
+
+    OpenCV's default anchor is (kw//2, kh//2); the window covering output
+    (y, x) spans offsets [-anchor, k-1-anchor].  The border behaves as
+    BORDER_CONSTANT with +inf (erode) / -inf (dilate), i.e. never
+    constrains the result, realized here by padding with pad_val.
+    """
+    ay, ax = kh // 2, kw // 2
+    padded = np.pad(img, ((ay, kh - 1 - ay), (ax, kw - 1 - ax)),
+                    constant_values=pad_val)
+    h, w = img.shape
+    op = np.minimum if is_min else np.maximum
+    # rect kernels are separable for min/max: rows pass, then cols pass
+    rows = padded[:, 0:w].copy()
+    for dx in range(1, kw):
+        rows = op(rows, padded[:, dx:dx + w])
+    out = rows[0:h, :].copy()
+    for dy in range(1, kh):
+        out = op(out, rows[dy:dy + h, :])
+    return out
+
+
+def erode(img: np.ndarray, width: int = 2, height: int = 2,
+          iterations: int = 1) -> np.ndarray:
+    out = img
+    for _ in range(iterations):
+        out = _window_reduce(out, width, height, is_min=True, pad_val=255)
+    return out
+
+
+def dilate(img: np.ndarray, width: int = 2, height: int = 2,
+           iterations: int = 1) -> np.ndarray:
+    out = img
+    for _ in range(iterations):
+        out = _window_reduce(out, width, height, is_min=False, pad_val=0)
+    return out
+
+
+def morph_open(img: np.ndarray, width: int = 17, height: int = 7) -> np.ndarray:
+    return dilate(erode(img, width, height), width, height)
+
+
+def morph_close(img: np.ndarray, width: int = 17, height: int = 7) -> np.ndarray:
+    return erode(dilate(img, width, height), width, height)
+
+
+# --------------------------------------------------------------- resize
+
+def resize_area(img: np.ndarray, out_wh: tuple[int, int]) -> np.ndarray:
+    """INTER_AREA resampling: each output pixel is the exact average of
+    the (fractional) source box it covers.  Implemented as two 1-D
+    weight matrices so `out = Wy @ img @ Wx.T` (fully vectorized, also
+    usable batched via einsum)."""
+    out_w, out_h = out_wh
+    wy = _area_weights(img.shape[0], out_h)
+    wx = _area_weights(img.shape[1], out_w)
+    out = wy @ img.astype(np.float64) @ wx.T
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Row-stochastic (n_out, n_in) overlap matrix of [i*s,(i+1)*s) with
+    unit source cells."""
+    s = n_in / n_out
+    w = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        lo, hi = i * s, (i + 1) * s
+        j0, j1 = int(math.floor(lo)), int(math.ceil(hi))
+        for j in range(j0, min(j1, n_in)):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / s
+
+
+# --------------------------------------------------------------- rotate
+
+def rotate(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate about the integer center by angle (counter-clockwise for
+    positive angles, as cv2.getRotationMatrix2D), bicubic interpolation
+    (Catmull-Rom style with a=-0.75 like OpenCV), border replicate."""
+    if angle_deg == 0:
+        return img.copy()
+    h, w = img.shape
+    cx, cy = w // 2, h // 2
+    a = math.radians(angle_deg)
+    cos, sin = math.cos(a), math.sin(a)
+    # forward matrix M = [[cos, sin, (1-cos)*cx - sin*cy],
+    #                     [-sin, cos, sin*cx + (1-cos)*cy]]
+    # we inverse-map output coords to source coords
+    ys, xs = np.mgrid[0:h, 0:w]
+    xr = xs - cx
+    yr = ys - cy
+    # inverse rotation (by -angle)
+    src_x = cos * xr - sin * yr + cx
+    src_y = sin * xr + cos * yr + cy
+    return _bicubic_sample(img, src_x, src_y)
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> tuple[np.ndarray, ...]:
+    """BiCubic convolution weights for offsets -1, 0, 1, 2 at fraction t."""
+    t2, t3 = t * t, t * t * t
+    w0 = a * (t3 - 2 * t2 + t)
+    w1 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w3 = -a * (t3 - t2)
+    return w0, w1, w2, w3
+
+
+def _bicubic_sample(img: np.ndarray, src_x: np.ndarray, src_y: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    fimg = img.astype(np.float64)
+    x0 = np.floor(src_x).astype(np.int64)
+    y0 = np.floor(src_y).astype(np.int64)
+    tx = src_x - x0
+    ty = src_y - y0
+    wx = _cubic_weights(tx)
+    wy = _cubic_weights(ty)
+    out = np.zeros(src_x.shape)
+    for j in range(4):
+        yy = np.clip(y0 + j - 1, 0, h - 1)
+        row_acc = np.zeros(src_x.shape)
+        for i in range(4):
+            xx = np.clip(x0 + i - 1, 0, w - 1)
+            row_acc += wx[i] * fimg[yy, xx]
+        out += wy[j] * row_acc
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------- min-area rect
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; points (N,2) float; returns CCW hull."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        chain: list[np.ndarray] = []
+        for p in iterable:
+            while len(chain) >= 2 and np.cross(chain[-1] - chain[-2],
+                                               p - chain[-2]) <= 0:
+                chain.pop()
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[float, float, float]:
+    """Rotating-calipers minimum-area rectangle over a point set.
+
+    Returns (width, height, angle_deg) with angle in [0, 90): the angle
+    from the +x axis to the rectangle edge designated 'width'.  Matches
+    cv2.minAreaRect's role in skew estimation (src/contour.ts:130-141).
+    """
+    hull = convex_hull(np.asarray(points, dtype=np.float64))
+    if len(hull) == 1:
+        return (0.0, 0.0, 0.0)
+    if len(hull) == 2:
+        d = hull[1] - hull[0]
+        ang = math.degrees(math.atan2(d[1], d[0])) % 180
+        length = float(np.hypot(*d))
+        if ang < 90:
+            return (length, 0.0, ang)
+        return (0.0, length, ang - 90)
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(*e)
+        if norm == 0:
+            continue
+        ux, uy = e / norm
+        # project hull onto edge direction u and normal v
+        proj_u = hull @ np.array([ux, uy])
+        proj_v = hull @ np.array([-uy, ux])
+        wid = proj_u.max() - proj_u.min()
+        hei = proj_v.max() - proj_v.min()
+        area = wid * hei
+        if best is None or area < best[0]:
+            ang = math.degrees(math.atan2(uy, ux)) % 180
+            # normalize so angle is in [0, 90), swapping w/h as needed
+            if ang >= 90:
+                ang -= 90
+                wid, hei = hei, wid
+            best = (area, wid, hei, ang)
+    assert best is not None
+    return (float(best[1]), float(best[2]), float(best[3]))
+
+
+def skew_angle_from_rect(width: float, height: float, angle: float) -> float:
+    """The reference's V1 correction rule (src/contour.ts:130-141):
+    angle = width < height ? -(90 - angle) : angle."""
+    if width < height:
+        return -(90.0 - angle)
+    return angle
+
+
+# ------------------------------------------------ connected components
+
+@dataclass
+class Region:
+    """One connected component of set pixels — the analog of the
+    reference's Contour (external contour + bounding rect + areas)."""
+
+    idx: int
+    rect: tuple[int, int, int, int]  # x, y, w, h
+    area: int  # rect area (w*h) — reference Contour.area
+    area2: float  # component pixel count — analog of cv.contourArea
+    label: int
+    labels: np.ndarray = field(repr=False)  # shared labeled image
+
+    @property
+    def width(self) -> int:
+        return self.rect[2]
+
+    @property
+    def height(self) -> int:
+        return self.rect[3]
+
+    def y_range(self) -> tuple[int, int]:
+        return (self.rect[1], self.rect[1] + self.rect[3])
+
+    def mask(self) -> np.ndarray:
+        """Boolean mask of this component, cropped to its rect."""
+        x, y, w, h = self.rect
+        return self.labels[y:y + h, x:x + w] == self.label
+
+    def points_in_rect(self, rect: tuple[int, int, int, int]
+                       ) -> tuple[int, int, int, int] | None:
+        """Bounding rect of this component's pixels inside `rect`
+        (inclusive min/max semantics, matching contour.getRectV1 /
+        image.getRect).  None if no pixels fall inside."""
+        x, y, w, h = rect
+        x0, y0 = max(0, x), max(0, y)
+        x1 = min(self.labels.shape[1], x + w + 1)
+        y1 = min(self.labels.shape[0], y + h + 1)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        sub = self.labels[y0:y1, x0:x1] == self.label
+        if not sub.any():
+            return None
+        ys, xs = np.nonzero(sub)
+        mn_x, mx_x = int(xs.min()) + x0, int(xs.max()) + x0
+        mn_y, mx_y = int(ys.min()) + y0, int(ys.max()) + y0
+        return (mn_x, mn_y, max(mx_x - mn_x, 1), max(mx_y - mn_y, 1))
+
+    def minmax_x_in_yrange(self, y_min: int, y_max: int) -> tuple[int, int] | None:
+        """Min and max x of component pixels with y in [y_min, y_max]."""
+        y0 = max(0, y_min)
+        y1 = min(self.labels.shape[0], y_max + 1)
+        if y1 <= y0:
+            return None
+        sub = self.labels[y0:y1, :] == self.label
+        if not sub.any():
+            return None
+        xs = np.nonzero(sub)[1]
+        return (int(xs.min()), int(xs.max()))
+
+
+def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-connected component labeling of set (non-zero) pixels.
+
+    Row-run union-find: O(runs).  Returns (labels, count) where labels
+    is int32 with 0 = background, 1..count = components.
+    """
+    h, w = binary.shape
+    set_mask = binary > 0
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]  # parent[i] for union-find; 0 unused
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label), x1 exclusive
+    next_label = 0
+    for y in range(h):
+        row = set_mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.nonzero(d == 1)[0] + 1)
+        ends = list(np.nonzero(d == -1)[0] + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        for x0, x1 in zip(starts, ends):
+            lab = 0
+            # 8-connectivity: runs [x0,x1) and [px0,px1) touch (incl.
+            # diagonally) iff px0 <= x1 and px1 >= x0
+            for (px0, px1, plab) in prev_runs:
+                if px0 <= x1 and px1 >= x0:
+                    if lab == 0:
+                        lab = plab
+                    else:
+                        union(lab, plab)
+            if lab == 0:
+                next_label += 1
+                parent.append(next_label)
+                lab = next_label
+            labels[y, x0:x1] = lab
+            cur_runs.append((x0, x1, lab))
+        prev_runs = cur_runs
+    if next_label == 0:
+        return labels, 0
+    # flatten union-find into a relabeling 1..count
+    roots = np.array([find(i) for i in range(next_label + 1)], dtype=np.int32)
+    uniq = np.unique(roots[1:])
+    remap = np.zeros(next_label + 1, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    final = remap[roots]
+    labels = final[labels]
+    return labels, len(uniq)
+
+
+def find_regions(binary: np.ndarray, sort_by_x: bool = True) -> list[Region]:
+    """Connected components → Region list, sorted left-to-right and
+    re-indexed (the reference's getContours contract,
+    src/image.ts:416-446)."""
+    labels, count = label_components(binary)
+    if count == 0:
+        return []
+    flat = labels.ravel()
+    nz = flat > 0
+    idxs = np.nonzero(nz)[0]
+    labs = flat[idxs]
+    ys, xs = np.divmod(idxs, binary.shape[1])
+    order = np.argsort(labs, kind="stable")
+    labs_s, xs_s, ys_s = labs[order], xs[order], ys[order]
+    bounds = np.searchsorted(labs_s, np.arange(1, count + 2))
+    regions: list[Region] = []
+    for lab in range(1, count + 1):
+        a, b = bounds[lab - 1], bounds[lab]
+        rx, ry = xs_s[a:b], ys_s[a:b]
+        x0, x1 = int(rx.min()), int(rx.max())
+        y0, y1 = int(ry.min()), int(ry.max())
+        rect = (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+        regions.append(Region(
+            idx=-1, rect=rect, area=rect[2] * rect[3],
+            area2=float(b - a), label=lab, labels=labels))
+    if sort_by_x:
+        regions.sort(key=lambda r: r.rect[0])
+    for i, r in enumerate(regions):
+        r.idx = i
+    return regions
+
+
+def filter_regions(
+    regions: list[Region],
+    min_width: float | None = None,
+    min_height: float | None = None,
+    min_area: float | None = None,
+    max_width: float | None = None,
+    max_height: float | None = None,
+    max_area: float | None = None,
+    borders: list[str] | None = None,
+    size_wh: tuple[int, int] | None = None,
+) -> list[Region]:
+    """Predicate filter over regions (reference Contour.filter,
+    src/contour.ts:63-98).  min/max area test uses area2 (polygon/pixel
+    area), width/height use the bounding rect.  Relationally this is a
+    plain WHERE clause — see the `contour_filter` SQL twin."""
+    out = []
+    for r in regions:
+        x, y, w, h = r.rect
+        if borders and size_wh is not None:
+            from ..functions.geometry import rect_touches_border
+            if rect_touches_border(r.rect, size_wh, borders):
+                continue
+        if min_width and w < min_width:
+            continue
+        if min_height and h < min_height:
+            continue
+        if max_width and w > max_width:
+            continue
+        if max_height and h > max_height:
+            continue
+        if min_area and r.area2 < min_area:
+            continue
+        if max_area and r.area2 > max_area:
+            continue
+        out.append(r)
+    return out
+
+
+# ------------------------------------------- overlap-correction kernels
+
+def clear_padding(img: np.ndarray, padding: int) -> None:
+    """Zero the `padding`-wide frame in place (src/image.ts:1102-1122)."""
+    img[:padding, :] = 0
+    img[img.shape[0] - padding:, :] = 0
+    img[:, :padding] = 0
+    img[:, img.shape[1] - padding:] = 0
+
+
+def clear_by_vertical_thickness(img: np.ndarray, threshold: int,
+                                rect: tuple[int, int, int, int] | None = None) -> None:
+    """Erase x-columns whose ink span (last_set_y - first_set_y) <=
+    threshold, within rect, in place (src/image.ts:1077-1100).
+
+    Column spans are vectorized via argmax over boolean masks; runs of
+    thin columns are cleared wholesale like the reference's polygon fill.
+    """
+    x, y, w, h = rect if rect else (0, 0, img.shape[1], img.shape[0])
+    x1, y1 = x + w, y + h  # exclusive; ref used inclusive minmax — w,h>=1 so
+    x1 = min(x1 + 0, img.shape[1])
+    y1 = min(y1, img.shape[0])
+    sub = img[y:y1, x:x1] > 128
+    any_col = sub.any(axis=0)
+    first = np.argmax(sub, axis=0)
+    last = sub.shape[0] - 1 - np.argmax(sub[::-1, :], axis=0)
+    span = last - first
+    thin = any_col & (span <= threshold)
+    img[y:y1, x:x1][:, thin] = 0
+
+
+def hv_thin(img: np.ndarray, min_h: int, min_v: int,
+            rect: tuple[int, int, int, int], max_iterations: int = 100) -> None:
+    """Iteratively unset pixels whose horizontal run < min_h AND vertical
+    run < min_v, within rect, in place (src/image.ts:1124-1184).
+
+    Run lengths computed via cumulative-sum trick per iteration.
+    """
+    x, y, w, h = rect
+    y1, x1 = min(y + h, img.shape[0]), min(x + w, img.shape[1])
+    for _ in range(max_iterations):
+        sub = img[y:y1, x:x1] > 128
+        if not sub.any():
+            break
+        hruns = _run_lengths(sub, axis=1)
+        vruns = _run_lengths(sub, axis=0)
+        kill = sub & (hruns < min_h) & (vruns < min_v)
+        if not kill.any():
+            break
+        img[y:y1, x:x1][kill] = 0
+
+
+def _run_lengths(mask: np.ndarray, axis: int) -> np.ndarray:
+    """For each set pixel, the length of its maximal run along `axis`."""
+    m = mask if axis == 1 else mask.T
+    h, w = m.shape
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = m
+    d = np.diff(padded.astype(np.int8), axis=1)
+    out = np.zeros((h, w), dtype=np.int32)
+    for r in range(h):
+        starts = np.nonzero(d[r] == 1)[0]
+        ends = np.nonzero(d[r] == -1)[0]
+        for s, e in zip(starts, ends):
+            out[r, s:e] = e - s
+    return out if axis == 1 else out.T
+
+
+def zhang_suen_skeletonize(img: np.ndarray) -> np.ndarray:
+    """Zhang-Suen thinning until fixpoint (src/image.ts:1033-1070),
+    vectorized with boolean masks.  Border pixels are never candidates
+    (the reference iterates strictly inside the rect)."""
+    m = (img > 128)
+    changed = True
+    while changed:
+        changed = False
+        for it in (0, 1):
+            p = m.astype(np.int8)
+            p2 = np.roll(p, 1, 0)
+            p3 = np.roll(np.roll(p, 1, 0), -1, 1)
+            p4 = np.roll(p, -1, 1)
+            p5 = np.roll(np.roll(p, -1, 0), -1, 1)
+            p6 = np.roll(p, -1, 0)
+            p7 = np.roll(np.roll(p, -1, 0), 1, 1)
+            p8 = np.roll(p, 1, 1)
+            p9 = np.roll(np.roll(p, 1, 0), 1, 1)
+            seq = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
+            a = sum(((seq[i] == 0) & (seq[i + 1] == 1)).astype(np.int8)
+                    for i in range(8))
+            b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
+            if it == 0:
+                m1, m2 = p2 * p4 * p6, p4 * p6 * p8
+            else:
+                m1, m2 = p2 * p4 * p8, p2 * p6 * p8
+            cand = m & (a == 1) & (b >= 2) & (b <= 6) & (m1 == 0) & (m2 == 0)
+            cand[0, :] = cand[-1, :] = False
+            cand[:, 0] = cand[:, -1] = False
+            if cand.any():
+                m[cand] = False
+                changed = True
+    return np.where(m, 255, 0).astype(np.uint8)
+
+
+# ----------------------------------------------------------- sampling
+
+def is_white_background(img: np.ndarray, sample_rate: int = 10) -> bool:
+    """Mean of every-`sample_rate`-th pixel > 128 (src/check.ts:246-264)."""
+    return float(img[::sample_rate, ::sample_rate].mean()) > 128
+
+
+def crop_fraction(img: np.ndarray,
+                  begin_h: float = 0.0, end_h: float = 1.0,
+                  begin_w: float = 0.0, end_w: float = 1.0) -> np.ndarray:
+    """Fractional crop (src/image.ts:184-205); default args keep all.
+    The MICR path uses begin_h=0.60 (keep the bottom 40% band)."""
+    h, w = img.shape[:2]
+    y0, y1 = int(round(h * begin_h)), int(round(h * end_h))
+    x0, x1 = int(round(w * begin_w)), int(round(w * end_w))
+    return img[y0:y1, x0:x1]

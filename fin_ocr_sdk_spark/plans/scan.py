@@ -1,0 +1,190 @@
+"""Per-document scan composition — the dataflow of Check.scan.
+
+Stage chain (reference: /root/reference/src/check.ts:193-295):
+
+  decode → grayscale → deskew → clean(2x2, order by background) →
+  crop bottom 40% → blur(3) → adaptiveThreshold(gauss, inv, 19, 1) →
+  seed-search + line build → [overlap correction + 2nd pass] →
+  classify chars → MICR string → field grammar → CheckInfo
+
+Pure Python/NumPy over one image; the Spark layer batches this over
+Arrow record batches (plans/pipeline.py).  The per-document path is
+embarrassingly parallel — zero cross-document dataflow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import Config
+from ..functions.micr import CheckInfo, parse_micr
+from ..operators import kernels as K
+from ..operators.classify import TemplateSet, translate_line
+from ..operators.segment import Line, find_micr_line_info, jround
+from ..sources import codecs
+
+_DEFAULT_CFG = Config()
+
+
+@dataclass
+class ScanResult:
+    ok: bool
+    check_info: CheckInfo | None = None
+    micr_value: str = ""
+    score: int = 0
+    overlap: bool = False
+    nchars: int = 0
+    error: str = ""
+    char_choices: list = field(default_factory=list)
+
+
+def skew_angle(gray: np.ndarray) -> float:
+    """Skew estimate (src/image.ts:591-607 + findSkewContourV3):
+    blur(7) → Otsu-inv → dilate 25x1 → among contours with w>120,
+    10<h<100, not border-touching, pick min areaFitRatio (rect area /
+    filled area — most rectangle-like) → min-area-rect angle with the
+    V1 correction (src/contour.ts:130-141)."""
+    img = K.gaussian_blur(gray, 7)
+    img = K.otsu_binary_inv(img)
+    img = K.dilate(img, 25, 1)
+    h, w = img.shape
+    regions = K.find_regions(img)
+    best = None
+    best_ratio = None
+    for r in regions:
+        rx, ry, rw, rh = r.rect
+        if not (rw > 120 and 10 < rh < 100):
+            continue
+        from ..functions.geometry import rect_touches_border
+        if rect_touches_border(r.rect, (w, h)):
+            continue
+        ratio = r.area / r.area2 if r.area2 else float("inf")
+        if best_ratio is None or ratio < best_ratio:
+            best_ratio = ratio
+            best = r
+    if best is None:
+        return 0.0
+    # hull of a filled region == hull of its per-row x extremes: feed
+    # O(rows) points into the calipers instead of O(pixels)
+    mask = best.mask()
+    rows = np.nonzero(mask.any(axis=1))[0]
+    first = np.argmax(mask[rows], axis=1)
+    last = mask.shape[1] - 1 - np.argmax(mask[rows, ::-1], axis=1)
+    bx, by = best.rect[0], best.rect[1]
+    pts = np.concatenate([
+        np.column_stack([first + bx, rows + by]),
+        np.column_stack([last + bx, rows + by]),
+    ]).astype(float)
+    mw, mh, ang = K.min_area_rect(pts)
+    return K.skew_angle_from_rect(mw, mh, ang)
+
+
+def get_micr_band(gray: np.ndarray, cfg: Config = _DEFAULT_CFG,
+                  crop_begin_h: float = 0.60) -> np.ndarray:
+    """Front half of getMicrLine: deskew, clean, crop the bottom band.
+
+    The fractional crop is this engine's partition-pruning analog — all
+    downstream work touches only the bottom 40% — so the crop is FUSED
+    into the rotation (only band output rows are computed) and the 2x2
+    clean runs on the band plus a halo.  Deviation from the reference's
+    order (rotate-all → clean-all → crop): byte-identical inside the
+    band except within the 4px halo seam, and the background-polarity
+    sample runs on the pre-rotation image (rotation with replicate
+    border moves the sampled mean negligibly)."""
+    angle = skew_angle(gray)
+    h = gray.shape[0]
+    y0 = int(round(h * crop_begin_h))
+    halo = 4
+    yh = max(0, y0 - halo)
+    band = K.rotate(gray, angle, out_rows=(yh, h))
+    cw, chh = cfg.clean_width, cfg.clean_height
+    if K.is_white_background(gray):
+        band = K.erode(band, cw, chh)
+        band = K.dilate(band, cw, chh)
+    else:
+        band = K.dilate(band, cw, chh)
+        band = K.erode(band, cw, chh)
+    return band[y0 - yh:]
+
+
+def find_micr_line(band_gray: np.ndarray, templates: TemplateSet,
+                   cfg: Config = _DEFAULT_CFG) -> Line | None:
+    """Back half: binarize, build the line, optionally run overlap
+    correction and a second pass (src/check.ts:266-295)."""
+    img = K.gaussian_blur(band_gray, 3)
+    img = K.adaptive_threshold_gaussian_inv(img, block_size=19, c=1)
+    zero_t, zero_n = templates.zero()
+    li = find_micr_line_info(img, zero_t, zero_n, cfg, count=1)
+    if li is None:
+        return None
+    line, _ = li
+    if line.overlap and cfg.overlap_correction:
+        corrected = perform_overlap_correction(line, cfg)
+        li2 = find_micr_line_info(corrected, zero_t, zero_n, cfg, count=2)
+        if li2 is None:
+            return None
+        line = li2[0]
+    return line
+
+
+def perform_overlap_correction(line: Line, cfg: Config) -> np.ndarray:
+    """Overlap correction (src/line.ts:582-607): crop the line ROI with
+    padding, then for top-touching contours clear thin-vertical runs and
+    h/v-thin.  The reference additionally walks signature strokes with a
+    curve follower (src/curve.ts, ~480 LoC of pixel heuristics) before
+    these steps; that stage is feature-gated off here (the author notes
+    it never fully worked) — clearPadding + thickness + hvThin handle
+    straight overlap strokes."""
+    from ..functions.geometry import enlarge_rect
+    pad = cfg.overlap_padding
+    h, w = line.image.shape
+    rect = enlarge_rect(line.get_bounding_rect(), (w, h), pad=pad)
+    x, y, rw, rh = rect
+    img = line.image[y:y + rh, x:x + rw].copy()
+    regions = K.find_regions(img)
+    K.clear_padding(img, pad)
+    for r in regions:
+        if r.rect[1] == 0:
+            K.clear_by_vertical_thickness(
+                img, line.vertical_thickness_threshold, r.rect)
+            K.hv_thin(img, line.min_horizontal_count,
+                      line.min_vertical_count, r.rect)
+    return img
+
+
+def scan_check(image_bytes: bytes, fmt: str,
+               templates: TemplateSet | None = None,
+               cfg: Config = _DEFAULT_CFG) -> ScanResult:
+    """Full Check.scan for one image (src/check.ts:88-114), opencv
+    engine only (the tesseract engine is external and default-off)."""
+    if templates is None:
+        templates = get_default_templates()
+    try:
+        gray = K.grayscale(codecs.decode_image(image_bytes, fmt))
+    except (ValueError, NotImplementedError) as e:
+        return ScanResult(ok=False, error=f"decode: {e}")
+    band = get_micr_band(gray, cfg)
+    line = find_micr_line(band, templates, cfg)
+    if line is None:
+        return ScanResult(ok=False, error="micr line not found")
+    tr = translate_line(line, templates, cfg.max_translator_choices)
+    info = parse_micr(tr.value)
+    return ScanResult(ok=True, check_info=info, micr_value=tr.value,
+                      score=tr.score, overlap=line.overlap,
+                      nchars=len(line.get_chars()),
+                      char_choices=tr.char_choices)
+
+
+_TEMPLATES: TemplateSet | None = None
+
+
+def get_default_templates() -> TemplateSet:
+    """Module-global template pack: built once per process (executor),
+    mirroring the reference's init-once translator (src/ocr.ts:44-56).
+    On Spark this is the init-once-per-worker pattern inside the UDF."""
+    global _TEMPLATES
+    if _TEMPLATES is None:
+        _TEMPLATES = TemplateSet.build()
+    return _TEMPLATES

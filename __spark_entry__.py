@@ -1,38 +1,778 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship MICR-extraction pipeline on the
+synthesized interleaved documents/media corpus (the driver's TPC-H-ish
+testdata has no image payloads; BASELINE.json's input_hint table shape
+is synthesized deterministically at small scale — seed 42).
+
+``queries()``/``oracle_sql()`` cover, per SURVEY.md §2:
+- OCR relational twins over the exploded fixture intermediates
+  (contours / char_scores / micr_cases / expected_spans), referenced in
+  DuckDB via read_parquet of absolute paths;
+- engine-breadth twins over the driver's TPC-H-ish tables (group aggs,
+  window top-k, argmax, regexp scalars, range join);
+- training-data ops over the driver's documents/embeddings tables
+  (exact dedup, n-gram Jaccard near-dup, token/quality/langid text
+  analysis, brute-force cosine ANN) — first-class at 100 TB scale.
+
+Non-SQL-expressible ops (MICR state-machine parse, MinHash/SimHash with
+engine-specific hashes, binary media metadata) are queries()-only →
+the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SMOKE_DOCS = 16
+SFTEST_DOCS = 128
+
+
+def _fixtures(name: str = "sftest", n: int = SFTEST_DOCS) -> str:
+    from fin_ocr_sdk_spark.sources.tables import fixture_dir
+    return fixture_dir(name, n)
+
+
+def _fx(table: str) -> str:
+    return os.path.join(_fixtures(), f"{table}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs + media → OCR-augmented span table."""
+    from fin_ocr_sdk_spark.plans.pipeline import extract_spans
+    d = _fixtures("smoke", SMOKE_DOCS)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(d, "media.parquet"))
+    return extract_spans(docs, media)
 
+
+# ------------------------------------------------------------ helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _fxdf(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.parquet(_fx(table))
+
+
+# template order for deterministic tie-breaks (single-contour eles
+# first, then multi — src/opencvTranslator.ts:208)
+_TPL_ORDER = "1234567890TUAD"
+_TPL_ORDER_SQL = ("CASE template_value "
+                  + " ".join(f"WHEN '{c}' THEN {i}"
+                             for i, c in enumerate(_TPL_ORDER))
+                  + " END")
+
+
+def _tpl_order_col():
+    mapping = F.create_map(
+        *[F.lit(x) for pair in
+          [(c, i) for i, c in enumerate(_TPL_ORDER)] for x in pair])
+    return mapping[F.col("template_value")]
+
+
+# ------------------------------------------------------- OCR queries
+
+def q_micr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fin_ocr_sdk_spark.plans.pipeline import extract_spans
+    docs = _fxdf(spark, "documents")
+    media = _fxdf(spark, "media")
+    out = extract_spans(docs, media)
+    return out.select("doc_id", "kind", "text", "media_ref",
+                      F.col("order").cast("int").alias("order"))
+
+
+def q_micr_parse_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MICR grammar over the golden case table via a vectorized pandas
+    UDF (the state machine is not SQL-expressible; oracle reads the
+    golden columns)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("case_id", StringType()),
+        StructField("routing_number", StringType()),
+        StructField("account_number", StringType()),
+        StructField("check_number", StringType()),
+    ])
+
+    def parse_batches(it):
+        from fin_ocr_sdk_spark.functions.micr import parse_micr
+        for pdf in it:
+            infos = [parse_micr(line) for line in pdf["micr_line"]]
+            yield pd.DataFrame({
+                "case_id": pdf["case_id"],
+                "routing_number": [i.routing_number for i in infos],
+                "account_number": [i.account_number for i in infos],
+                "check_number": [i.check_number for i in infos],
+            })
+
+    cases = _fxdf(spark, "micr_cases")
+    return cases.mapInPandas(parse_batches, schema)
+
+
+def q_contour_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour predicate filter (src/contour.ts:63-98) as a WHERE."""
+    c = _fxdf(spark, "contours")
+    return (c.filter((F.col("w") >= 3) & (F.col("h") >= 7)
+                     & (F.col("area2") >= 20) & (F.col("w") <= 100))
+            .select("doc_id", "contour_idx", "x", "y", "w", "h"))
+
+
+def q_contour_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-to-top sort + per-doc top-5 (seed-search scan order,
+    src/check.ts:308)."""
+    c = _fxdf(spark, "contours")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("y"), F.asc("contour_idx"))
+    return (c.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "contour_idx", "y", "rk"))
+
+
+def q_contour_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score S/M/L categorizer (src/categorizer.ts:24-57) — POPULATION
+    std over a per-doc window."""
+    c = _fxdf(spark, "contours")
+    w = Window.partitionBy("doc_id")
+    z = (F.col("area2") - F.avg("area2").over(w)) / F.stddev_pop("area2").over(w)
+    cat = (F.when(z < -1, "S").when(z > 1, "L").otherwise("M"))
+    return (c.select("doc_id", "contour_idx", cat.alias("zcat"))
+            )
+
+
+def q_contour_bounding_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional min/max bounding-rect agg (src/line.ts:469-513 shape):
+    x over medium+small, y over medium only."""
+    c = _fxdf(spark, "contours")
+    return (c.groupBy("doc_id").agg(
+        F.min(F.when(F.col("size_class") != "L", F.col("x"))).alias("min_x"),
+        F.max(F.when(F.col("size_class") != "L",
+                     F.col("x") + F.col("w"))).alias("max_x"),
+        F.min(F.when(F.col("size_class") == "M", F.col("y"))).alias("min_y"),
+        F.max(F.when(F.col("size_class") == "M",
+                     F.col("y") + F.col("h"))).alias("max_y"),
+    ))
+
+
+def q_char_best_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-char argmax over template scores (the template-match join's
+    agg side, src/opencvTranslator.ts:218-224)."""
+    s = _fxdf(spark, "char_scores")
+    w = Window.partitionBy("doc_id", "char_idx").orderBy(
+        F.desc("score"), _tpl_order_col().asc())
+    return (s.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "char_idx",
+                    F.col("template_value").alias("best_value"),
+                    F.col("score").alias("best_score")))
+
+
+def q_char_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 choices per char (maxTranslatorChoices, src/config.ts:39)."""
+    s = _fxdf(spark, "char_scores")
+    w = Window.partitionBy("doc_id", "char_idx").orderBy(
+        F.desc("score"), _tpl_order_col().asc())
+    return (s.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "char_idx", "rk",
+                    F.col("template_value").alias("value"), "score"))
+
+
+def q_line_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line value = x-ordered concat of best char values; line score =
+    floor(avg(best)+0.5) (src/opencvTranslator.ts:146-152)."""
+    best = q_char_best_choice(spark, sf_dir)
+    agg = (best.groupBy("doc_id").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("char_idx", "best_value"))),
+            lambda x: x["best_value"])).alias("line_value"),
+        F.floor(F.avg("best_score") + F.lit(0.5)).cast("long")
+        .alias("line_score"),
+    ))
+    return agg
+
+
+# --------------------------------------- engine-breadth (TPC-H-ish)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+def q_events_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("event_id").alias("best_event"),
+                    F.col("value").alias("best_value")))
+
+
+def q_regexp_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar string functions (src/util.ts:324-345) as
+    column expressions over driver data."""
+    o = _t(spark, sf_dir, "orders")
+    padded = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    return o.select(
+        "o_orderkey",
+        F.regexp_replace(padded, "^0+", "").alias("no_leading_zeros"),
+        F.regexp_replace(F.col("o_orderstatus"), "\\s", "")
+        .alias("no_spaces"),
+        F.col("o_orderkey").cast("string").rlike("^-?[0-9]+$")
+        .alias("is_numeric"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-intersection join (the line-membership predicate shape,
+    src/util.ts:198-230): join each nation's suppliers and customers,
+    theta-join on an arithmetic range predicate."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (c.join(s, (c.c_nationkey == s.s_nationkey)
+                   & (F.abs(c.c_acctbal - s.s_acctbal) <= 100))
+            .select("c_custkey", "s_suppkey",
+                    c.c_nationkey.alias("nationkey")))
+
+
+def q_x9_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9ToMicr composition shape (src/checkUtil.ts:38-45) over driver
+    columns: concat + single-replace + strip spaces."""
+    o = _t(spark, sf_dir, "orders")
+    on_us = F.concat(F.col("o_custkey").cast("string"), F.lit("/"),
+                     F.col("o_orderkey").cast("string"))
+    micr = F.concat(
+        F.lit("U"), F.col("o_orderkey").cast("string"), F.lit("U"),
+        F.lit("T"), F.lpad(F.col("o_custkey").cast("string"), 9, "0"),
+        F.lit("T"),
+        F.regexp_replace(on_us, "/", "U"))
+    return o.select("o_orderkey",
+                    F.regexp_replace(micr, "\\s", "").alias("micr"))
+
+
+# ------------------------------------------------ training-data ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: keep min doc_id per text, report
+    group size."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("text")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_dups"))
+            .filter(F.col("n_dups") >= 1)
+            .select("keep_doc_id", "n_dups"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char stats per document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("long").alias("n_spaces"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, digit ratio, mean
+    word length — the boilerplate/garbage heuristics of a training-data
+    pipeline, as pure column arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = n - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    digits = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    ntok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.round(punct / n, 4).alias("punct_ratio"),
+        F.round(digits / n, 4).alias("digit_ratio"),
+        F.round(n / ntok, 2).alias("mean_word_len"),
+        ((n >= 20) & (punct / n < 0.2)).alias("passes_quality"),
+    )
+
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword hit-rate over tokens."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    pat = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
+    hits = F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+    ntok = F.size(F.split(F.trim(low), "\\s+"))
+    ratio = F.round(hits / ntok, 4)
+    return d.select(
+        "doc_id", hits.cast("long").alias("stopword_hits"),
+        ratio.alias("stopword_ratio"),
+        (ratio >= 0.1).alias("pred_english"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: word-3-gram overlap counts between document
+    pairs sharing at least 3 n-grams (the n-gram Jaccard join, bucketed
+    by shared n-gram so the self-join never goes quadratic)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    grams = (d.select("doc_id", F.explode(
+        F.transform(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda _, i: F.concat_ws(" ", toks[i], toks[i + 1],
+                                             toks[i + 2])))
+        .alias("gram")).distinct())
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+            .filter(F.col("shared_ngrams") >= 3))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only oracle: hash functions are
+    engine-specific).  shingle → 16 minhashes (xxhash64 with salt) →
+    4 bands of 4 → band-bucket join → candidate pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    shingles = F.array_distinct(F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda _, i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])))
+    # explode once, hash each shingle under 16 salts, min-agg per doc:
+    # one shuffle instead of 16 re-evaluations of the shingle expression
+    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+        for i in range(16)])
+    bands = mins.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(*[F.col(f"mh{bi * 4 + j}")
+                                  for j in range(4)]).alias("sig"))
+            for bi in range(4)])).alias("b"))
+    bands = bands.select("doc_id", "b.band", "b.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only oracle)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.array(*[
+        F.aggregate(hashes, F.lit(0),
+                    lambda acc, hv: acc + F.when(
+                        hv.bitwiseAND(F.lit(1 << i) if i < 63
+                                      else F.lit(-(1 << 63))) != 0,
+                        1).otherwise(-1))
+        for i in range(16)])  # 16 bits is plenty for a fingerprint twin
+    sim = F.aggregate(
+        F.zip_with(bit_votes,
+                   F.array(*[F.lit(1 << i) for i in range(16)]),
+                   lambda v, w: F.when(v > 0, w).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    return d.select("doc_id", sim.alias("simhash16"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint, portable SQL:
+    polynomial hash over character codes of the first 64 chars, mod a
+    prime — computable identically in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 64)
+    # fold: h = (h*31 + ascii(char)) % 1000000007
+    chars = F.filter(F.split(prefix, ""), lambda c: c != F.lit(""))
+    h = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1000000007)
+    return d.select("doc_id", h.alias("fingerprint"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline of similarity
+    search.  Query set = vec_id < 8; neighbors over the full table via
+    broadcast cross join; top-5 per query by double-precision cosine."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    norm_b = F.sqrt(F.aggregate(
+        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (norm_a * norm_b)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    return (joined.withColumn("sim", sim)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round("sim", 4).alias("cosine")))
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH bucketing (rows-only
+    oracle — sign projections use seeded deterministic pseudo-planes
+    derived from dimension index)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic pseudo-hyperplane: sign of sum(v[i] * s(i,b)) where
+    # s(i,b) = +1/-1 from a parity of a cheap integer mix
+    bits = []
+    for b in range(8):
+        proj = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.transform(F.sequence(F.lit(0),
+                                       F.size("embedding") - 1),
+                            lambda i: F.when(
+                                ((i * 2654435761 + b * 40503) % 97) < 48,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda v, s: v.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for x in bits[1:]:
+        bucket = bucket + x
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: typed metadata over opaque binary media —
+    decode dimensions/format inside a vectorized UDF (rows-only oracle;
+    DuckDB lacks the binary parsing)."""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+    ])
+
+    def meta(it):
+        from fin_ocr_sdk_spark.sources import codecs
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_ref", "format", "width", "height", "n_bytes")}
+            for ref, fmt, img in zip(pdf["media_ref"], pdf["format"],
+                                     pdf["image"]):
+                arr = codecs.decode_image(bytes(img), fmt)
+                rows["media_ref"].append(ref)
+                rows["format"].append(fmt)
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["n_bytes"].append(len(img))
+            yield pd.DataFrame(rows)
+
+    media = _fxdf(spark, "media")
+    return media.mapInPandas(meta, schema)
+
+
+# ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # OCR core
+        "micr_extract_spans": q_micr_extract_spans,
+        "micr_parse_cases": q_micr_parse_cases,
+        "contour_filter": q_contour_filter,
+        "contour_sort_topk": q_contour_sort_topk,
+        "contour_zscore": q_contour_zscore,
+        "contour_bounding_rect": q_contour_bounding_rect,
+        "char_best_choice": q_char_best_choice,
+        "char_top3": q_char_top3,
+        "line_value_score": q_line_value_score,
+        # engine breadth over driver tables
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_argmax": q_events_argmax,
+        "regexp_scalars": q_regexp_scalars,
+        "range_join": q_range_join,
+        "x9_compose": q_x9_compose,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "media_metadata": q_media_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _fixtures()  # make sure fixture parquet exists before DuckDB reads it
+    fx = _fx
+    return {
+        "micr_extract_spans": f"""
+            SELECT doc_id, kind, text, media_ref, "order"
+            FROM read_parquet('{fx("expected_spans")}')
+        """,
+        "micr_parse_cases": f"""
+            SELECT case_id, routing_number, account_number, check_number
+            FROM read_parquet('{fx("micr_cases")}')
+        """,
+        "contour_filter": f"""
+            SELECT doc_id, contour_idx, x, y, w, h
+            FROM read_parquet('{fx("contours")}')
+            WHERE w >= 3 AND h >= 7 AND area2 >= 20 AND w <= 100
+        """,
+        "contour_sort_topk": f"""
+            SELECT doc_id, contour_idx, y, rk FROM (
+              SELECT doc_id, contour_idx, y,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY y DESC, contour_idx ASC) rk
+              FROM read_parquet('{fx("contours")}')) t
+            WHERE rk <= 5
+        """,
+        "contour_zscore": f"""
+            SELECT doc_id, contour_idx,
+                   CASE WHEN (area2 - avg(area2) OVER (PARTITION BY doc_id))
+                             / stddev_pop(area2) OVER (PARTITION BY doc_id)
+                             < -1 THEN 'S'
+                        WHEN (area2 - avg(area2) OVER (PARTITION BY doc_id))
+                             / stddev_pop(area2) OVER (PARTITION BY doc_id)
+                             > 1 THEN 'L'
+                        ELSE 'M' END AS zcat
+            FROM read_parquet('{fx("contours")}')
+        """,
+        "contour_bounding_rect": f"""
+            SELECT doc_id,
+                   min(CASE WHEN size_class <> 'L' THEN x END) AS min_x,
+                   max(CASE WHEN size_class <> 'L' THEN x + w END) AS max_x,
+                   min(CASE WHEN size_class = 'M' THEN y END) AS min_y,
+                   max(CASE WHEN size_class = 'M' THEN y + h END) AS max_y
+            FROM read_parquet('{fx("contours")}')
+            GROUP BY doc_id
+        """,
+        "char_best_choice": f"""
+            SELECT doc_id, char_idx, template_value AS best_value,
+                   score AS best_score FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, char_idx
+                  ORDER BY score DESC, {_TPL_ORDER_SQL} ASC) rk
+              FROM read_parquet('{fx("char_scores")}')) t
+            WHERE rk = 1
+        """,
+        "char_top3": f"""
+            SELECT doc_id, char_idx, rk, template_value AS value, score
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, char_idx
+                  ORDER BY score DESC, {_TPL_ORDER_SQL} ASC) rk
+              FROM read_parquet('{fx("char_scores")}')) t
+            WHERE rk <= 3
+        """,
+        "line_value_score": f"""
+            SELECT doc_id,
+                   string_agg(best_value, '' ORDER BY char_idx)
+                       AS line_value,
+                   CAST(floor(avg(best_score) + 0.5) AS BIGINT)
+                       AS line_score
+            FROM (
+              SELECT doc_id, char_idx, template_value AS best_value,
+                     score AS best_score, row_number() OVER (
+                  PARTITION BY doc_id, char_idx
+                  ORDER BY score DESC, {_TPL_ORDER_SQL} ASC) rk
+              FROM read_parquet('{fx("char_scores")}')) t
+            WHERE rk = 1
+            GROUP BY doc_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) rk
+              FROM orders) t
+            WHERE rk <= 3
+        """,
+        "events_argmax": """
+            SELECT user_id, event_id AS best_event, value AS best_value
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY value DESC, event_id ASC) rk
+              FROM events) t
+            WHERE rk = 1
+        """,
+        "regexp_scalars": """
+            SELECT o_orderkey,
+                   regexp_replace(lpad(CAST(o_orderkey AS VARCHAR), 12, '0'),
+                                  '^0+', '') AS no_leading_zeros,
+                   regexp_replace(o_orderstatus, '\\s', '', 'g') AS no_spaces,
+                   regexp_matches(CAST(o_orderkey AS VARCHAR),
+                                  '^-?[0-9]+$') AS is_numeric
+            FROM orders
+        """,
+        "range_join": """
+            SELECT c_custkey, s_suppkey, c_nationkey AS nationkey
+            FROM customer JOIN supplier
+              ON c_nationkey = s_nationkey
+             AND abs(c_acctbal - s_acctbal) <= 100
+        """,
+        "x9_compose": """
+            SELECT o_orderkey,
+                   regexp_replace(
+                     'U' || CAST(o_orderkey AS VARCHAR) || 'U' ||
+                     'T' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') || 'T' ||
+                     regexp_replace(CAST(o_custkey AS VARCHAR) || '/' ||
+                                    CAST(o_orderkey AS VARCHAR), '/', 'U'),
+                     '\\s', '', 'g') AS micr
+            FROM orders
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text HAVING count(*) >= 1
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_actual,
+                   length(text) - length(replace(text, ' ', '')) AS n_spaces
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+              round((length(text) - length(regexp_replace(text,
+                  '[.,;:!?]', '', 'g'))) / length(text), 4) AS punct_ratio,
+              round((length(text) - length(regexp_replace(text,
+                  '[0-9]', '', 'g'))) / length(text), 4) AS digit_ratio,
+              round(length(text) /
+                  len(regexp_split_to_array(trim(text), '\\s+')), 2)
+                  AS mean_word_len,
+              (length(text) >= 20 AND
+               (length(text) - length(regexp_replace(text, '[.,;:!?]', '',
+                'g'))) / length(text) < 0.2) AS passes_quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '\\b({"|".join(_STOPWORDS)})\\b')) AS stopword_hits,
+                   round(len(regexp_extract_all(lower(text),
+                       '\\b({"|".join(_STOPWORDS)})\\b'))
+                     / len(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                     4) AS stopword_ratio,
+                   round(len(regexp_extract_all(lower(text),
+                       '\\b({"|".join(_STOPWORDS)})\\b'))
+                     / len(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                     4) >= 0.1 AS pred_english
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT doc_id,
+                           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   FOR i IN range(1, greatest(len(t) - 2, 0)
+                                                     + 1)]) AS gram
+                    FROM toks) u)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_ngrams
+            FROM grams a JOIN grams b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       [ord(c)::BIGINT
+                        FOR c IN string_split(substring(text, 1, 64), '')]),
+                     (acc, ch) -> (acc * 31 + ch) % 1000000007)
+                   AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                         e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id ASC) rk
+              FROM scored) t
+            WHERE rk <= 5
+        """,
+        # rows-only (no oracle): micr state machine runs only in the
+        # engine; hash-based dedup uses engine-specific hash functions;
+        # media metadata needs binary parsing DuckDB lacks.
+        # "minhash_dedup", "simhash", "ann_lsh_buckets", "media_metadata"
+    }

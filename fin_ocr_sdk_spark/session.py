@@ -1,0 +1,38 @@
+"""SparkSession construction with the engine's scale-tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "fin-ocr-sdk-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Session defaults chosen for the 100 TB design point, scaled to
+    local mode for tests:
+
+    - AQE on (runtime coalescing + skew-join splitting)
+    - Arrow on, with a bounded records-per-batch so a batch of decoded
+      rasters (~0.5 MB each) stays well inside executor memory
+    - shuffle partitions default to local core count (driver-set
+      SPARK_GRAFT_CPUS), sized up by the byte-weighted repartition for
+      the scan stage (plans/pipeline.py)
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.python.worker.reuse", "true")
+    )
+    return builder.getOrCreate()

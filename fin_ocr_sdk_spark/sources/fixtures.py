@@ -157,7 +157,14 @@ def make_text_span(rng: np.random.Generator) -> str:
 
 def generate_fixture_rows(n_docs: int, seed: int = 42
                           ) -> tuple[list[dict], list[dict], list[dict]]:
-    """Build (documents, media, expected_spans) row dicts.
+    return generate_fixture_rows_range(0, n_docs, seed)
+
+
+def generate_fixture_rows_range(start: int, count: int, seed: int = 42
+                                ) -> tuple[list[dict], list[dict], list[dict]]:
+    """Build (documents, media, expected_spans) row dicts for doc
+    indices [start, start+count) — each doc is seeded independently, so
+    generation parallelizes and any subrange is reproducible.
 
     Emitted OCR spans are interleaved immediately after their source
     image span; `order` is the final 0-based position — the
@@ -166,7 +173,7 @@ def generate_fixture_rows(n_docs: int, seed: int = 42
     docs: list[dict] = []
     media: list[dict] = []
     expected: list[dict] = []
-    for i in range(n_docs):
+    for i in range(start, start + count):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         doc_id = f"doc-{i:08d}"
         media_ref = f"img-{i:08d}"

@@ -1,0 +1,64 @@
+"""Spark-level span-equality test: the distributed pipeline must produce
+exactly the golden expected_spans table on the smoke corpus."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from fin_ocr_sdk_spark.plans.pipeline import extract_spans, preprocess_only
+from fin_ocr_sdk_spark.sources.tables import fixture_dir
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from fin_ocr_sdk_spark.session import get_spark
+    s = get_spark("pytest-pipeline", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def smoke_dir():
+    return fixture_dir("smoke", 16)
+
+
+def test_span_equality(spark, smoke_dir):
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    got = (extract_spans(docs, media).toPandas()
+           .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    exp = (pd.read_parquet(os.path.join(smoke_dir, "expected_spans.parquet"))
+           .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    got["order"] = got["order"].astype("int32")
+    exp["order"] = exp["order"].astype("int32")
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_no_micr_errors(spark, smoke_dir):
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    out = extract_spans(docs, media)
+    assert out.filter(out.kind == "micr:error").count() == 0
+
+
+def test_preprocess_only(spark, smoke_dir):
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    pre = preprocess_only(docs, media).toPandas()
+    assert len(pre) == 16
+    assert (pre["overlap"] == "false").all()
+    assert pre["band"].map(len).min() > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "kind", "text", "media_ref", "order"}
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    assert len(qs) >= 20

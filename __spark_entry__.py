@@ -283,6 +283,25 @@ def q_x9_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ training-data ops
 
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the token array materialized ONCE per row.
+    Referencing a split() expression inside array-lambda element
+    accesses re-evaluates the regex per element — a 20x+ slowdown —
+    so every text op indexes this projected column instead."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    return d.select("doc_id", toks.alias("t"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-grams per document."""
+    t = _tokenized(spark, sf_dir)
+    tc = F.col("t")
+    grams = F.array_distinct(F.transform(
+        F.slice(tc, 1, F.greatest(F.size(tc) - 2, F.lit(0))),
+        lambda _, i: F.concat_ws(" ", tc[i], tc[i + 1], tc[i + 2])))
+    return t.select("doc_id", F.explode(grams).alias("gram"))
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy: keep min doc_id per text, report
     group size."""
@@ -332,13 +351,17 @@ _STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: English stopword hit-rate over tokens."""
     d = _t(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
     pat = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
-    hits = F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
-    ntok = F.size(F.split(F.trim(low), "\\s+"))
-    ratio = F.round(hits / ntok, 4)
-    return d.select(
-        "doc_id", hits.cast("long").alias("stopword_hits"),
+    # materialize hit count + token count once, then derive
+    base = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat),
+                                    F.lit(0))).alias("hits"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+        .alias("ntok"))
+    ratio = F.round(F.col("hits") / F.col("ntok"), 4)
+    return base.select(
+        "doc_id", F.col("hits").cast("long").alias("stopword_hits"),
         ratio.alias("stopword_ratio"),
         (ratio >= 0.1).alias("pred_english"))
 
@@ -347,13 +370,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: word-3-gram overlap counts between document
     pairs sharing at least 3 n-grams (the n-gram Jaccard join, bucketed
     by shared n-gram so the self-join never goes quadratic)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    grams = (d.select("doc_id", F.explode(
-        F.transform(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-                    lambda _, i: F.concat_ws(" ", toks[i], toks[i + 1],
-                                             toks[i + 2])))
-        .alias("gram")).distinct())
+    grams = _shingles(spark, sf_dir)
     a = grams.alias("a")
     b = grams.alias("b")
     return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
@@ -368,14 +385,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only oracle: hash functions are
     engine-specific).  shingle → 16 minhashes (xxhash64 with salt) →
     4 bands of 4 → band-bucket join → candidate pairs."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    shingles = F.array_distinct(F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda _, i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])))
     # explode once, hash each shingle under 16 salts, min-agg per doc:
     # one shuffle instead of 16 re-evaluations of the shingle expression
-    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    exploded = _shingles(spark, sf_dir).withColumnRenamed("gram", "shingle")
     mins = exploded.groupBy("doc_id").agg(*[
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
         for i in range(16)])
@@ -397,10 +409,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only oracle)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.array_distinct(
-        F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    d = _tokenized(spark, sf_dir)
+    hashes = F.transform(F.array_distinct(F.col("t")),
+                         lambda t: F.xxhash64(t))
     bit_votes = F.array(*[
         F.aggregate(hashes, F.lit(0),
                     lambda acc, hv: acc + F.when(

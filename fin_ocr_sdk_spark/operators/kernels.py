@@ -86,21 +86,68 @@ def _reflect101_pad(img: np.ndarray, py: int, px: int) -> np.ndarray:
 
 
 def _sep_filter(img: np.ndarray, ky: np.ndarray, kx: np.ndarray) -> np.ndarray:
-    """Separable correlation with reflect-101 borders, float64 result."""
+    """Separable correlation with reflect-101 borders.
+
+    float32 with in-place accumulation: the scan stage runs many workers
+    per host, so memory traffic (not FLOPs) is the binding resource —
+    float64 + per-tap temporaries measurably throttles 32-way scans.
+    """
     ry, rx = len(ky) // 2, len(kx) // 2
-    padded = _reflect101_pad(img.astype(np.float64), ry, rx)
-    # rows (axis 1) then cols (axis 0)
-    tmp = np.zeros((padded.shape[0], img.shape[1]))
-    for i, w in enumerate(kx):
-        tmp += w * padded[:, i:i + img.shape[1]]
-    out = np.zeros(img.shape)
-    for i, w in enumerate(ky):
-        out += w * tmp[i:i + img.shape[0], :]
+    padded = _reflect101_pad(img.astype(np.float32), ry, rx)
+    h, w = img.shape
+    kxf = kx.astype(np.float32)
+    kyf = ky.astype(np.float32)
+    tmp = np.zeros((padded.shape[0], w), dtype=np.float32)
+    scratch = np.empty_like(tmp)
+    for i in range(len(kxf)):
+        np.multiply(padded[:, i:i + w], kxf[i], out=scratch)
+        tmp += scratch
+    out = np.zeros((h, w), dtype=np.float32)
+    scratch2 = np.empty_like(out)
+    for i in range(len(kyf)):
+        np.multiply(tmp[i:i + h, :], kyf[i], out=scratch2)
+        out += scratch2
     return out
+
+
+def _sep_filter_u8(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable correlation for uint8 images in 8.8 fixed point.
+
+    Weights are scaled to 256ths (renormalized so the row accumulator
+    cannot overflow uint16); each axis pass rounds back to uint8.  The
+    result differs from the float path by at most one gray level, and
+    the memory traffic — the binding resource with a scan worker per
+    core — is less than half of the float32 path's.
+    """
+    w = np.round(k * 256.0).astype(np.uint16)
+    w = np.maximum(w, 1)
+    while int(w.sum()) * 255 > 65535:
+        w[int(np.argmax(w))] -= 1
+    half = int(w.sum()) // 2
+    r = len(w) // 2
+    h, width = img.shape
+
+    def one_axis(src: np.ndarray, horizontal: bool) -> np.ndarray:
+        pad = ((0, 0), (r, r)) if horizontal else ((r, r), (0, 0))
+        padded = np.pad(src, pad, mode="reflect")
+        acc = np.zeros(src.shape, dtype=np.uint16)
+        scratch = np.empty(src.shape, dtype=np.uint16)
+        for i in range(len(w)):
+            sl = (padded[:, i:i + width] if horizontal
+                  else padded[i:i + h, :])
+            np.multiply(sl, w[i], out=scratch, dtype=np.uint16)
+            acc += scratch
+        acc += half
+        np.floor_divide(acc, int(w.sum()), out=acc)
+        return acc.astype(np.uint8)
+
+    return one_axis(one_axis(img, True), False)
 
 
 def gaussian_blur(img: np.ndarray, ksize: int = 3, sigma: float = 0.0) -> np.ndarray:
     k = _gaussian_kernel_1d(ksize, sigma)
+    if img.dtype == np.uint8:
+        return _sep_filter_u8(img, k)
     return np.clip(np.round(_sep_filter(img, k, k)), 0, 255).astype(np.uint8)
 
 
@@ -141,10 +188,17 @@ def adaptive_threshold_gaussian_inv(
     dst = (src > gaussian_local_mean - C) ? 0 : maxval.  The gaussian
     window uses sigma = 0.3*((block-1)*0.5-1)+0.8 per OpenCV.  This is
     the binarization that flips black-on-white ink to 255-on-0.
+
+    The local mean runs in 8.8 fixed point (see _sep_filter_u8): at
+    most one gray level from the float path, immaterial next to the
+    C offset, and half the memory traffic on the hot scan stage.
     """
     k = _gaussian_kernel_1d(block_size, 0.0)
-    mean = _sep_filter(img, k, k)
-    return np.where(img.astype(np.float64) > mean - c, 0, maxval).astype(np.uint8)
+    if img.dtype == np.uint8:
+        mean = _sep_filter_u8(img, k).astype(np.int16)
+    else:
+        mean = _sep_filter(img, k, k)
+    return np.where(img > mean - c, 0, maxval).astype(np.uint8)
 
 
 # ----------------------------------------------------------- morphology
@@ -211,9 +265,17 @@ def resize_area(img: np.ndarray, out_wh: tuple[int, int]) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+_AREA_W_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _area_weights(n_in: int, n_out: int) -> np.ndarray:
     """Row-stochastic (n_out, n_in) overlap matrix of [i*s,(i+1)*s) with
-    unit source cells."""
+    unit source cells.  Cached: the classify path resizes thousands of
+    char crops with only a handful of distinct source sizes."""
+    key = (n_in, n_out)
+    w = _AREA_W_CACHE.get(key)
+    if w is not None:
+        return w
     s = n_in / n_out
     w = np.zeros((n_out, n_in))
     for i in range(n_out):
@@ -221,7 +283,10 @@ def _area_weights(n_in: int, n_out: int) -> np.ndarray:
         j0, j1 = int(math.floor(lo)), int(math.ceil(hi))
         for j in range(j0, min(j1, n_in)):
             w[i, j] = min(hi, j + 1) - max(lo, j)
-    return w / s
+    w /= s
+    if len(_AREA_W_CACHE) < 4096:
+        _AREA_W_CACHE[key] = w
+    return w
 
 
 # --------------------------------------------------------------- rotate
@@ -229,17 +294,25 @@ def _area_weights(n_in: int, n_out: int) -> np.ndarray:
 def rotate(img: np.ndarray, angle_deg: float,
            out_rows: tuple[int, int] | None = None) -> np.ndarray:
     """Rotate about the integer center by angle (counter-clockwise for
-    positive angles, as cv2.getRotationMatrix2D), bicubic interpolation
+    positive angles, as cv2.getRotationMatrix2D), cubic interpolation
     (Catmull-Rom style with a=-0.75 like OpenCV), border replicate.
 
     `out_rows=(y0, y1)` computes only that band of output rows — used to
     fuse the downstream fractional crop into the rotation (the MICR path
     reads only the bottom 40%), cutting the dominant per-image cost.
+
+    Small angles (the deskew regime) use the exact Paeth 3-shear
+    decomposition M = Sx(-tan(θ/2))·Sy(sinθ)·Sx(-tan(θ/2)): the x-shears
+    resample with contiguous row slices and only the y-shear gathers —
+    4 gathers instead of the dense warp's 16.  Large angles fall back
+    to the dense bicubic inverse map.
     """
     h, w = img.shape
     y0, y1 = out_rows if out_rows is not None else (0, h)
     if angle_deg == 0:
         return img[y0:y1].copy()
+    if abs(angle_deg) <= 15.0:
+        return _rotate_shear(img, angle_deg, y0, y1)
     cx, cy = w // 2, h // 2
     a = math.radians(angle_deg)
     cos, sin = math.cos(a), math.sin(a)
@@ -252,6 +325,65 @@ def rotate(img: np.ndarray, angle_deg: float,
     return _bicubic_sample(img, src_x, src_y)
 
 
+def _shear_rows_cubic(img: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Resample each row i at x + shifts[i] (replicate borders) with the
+    cubic kernel — contiguous slice arithmetic, no gathers."""
+    h, w = img.shape
+    k = np.floor(shifts).astype(np.int64)
+    t = (shifts - k).astype(np.float32)
+    lut = _cubic_lut()
+    q = np.rint(t * _CUBIC_LEVELS).astype(np.int64)
+    margin = int(max(abs(k.min()), abs(k.max()))) + 2
+    padded = np.pad(img.astype(np.float32), ((0, 0), (margin, margin)),
+                    mode="edge")
+    out = np.empty((h, w), dtype=np.float32)
+    for i in range(h):
+        base = margin + int(k[i]) - 1
+        row = padded[i]
+        wrow = lut[q[i]]
+        seg = row[base:base + w] * wrow[0]
+        seg += row[base + 1:base + 1 + w] * wrow[1]
+        seg += row[base + 2:base + 2 + w] * wrow[2]
+        seg += row[base + 3:base + 3 + w] * wrow[3]
+        out[i] = seg
+    return out
+
+
+def _rotate_shear(img: np.ndarray, angle_deg: float, y0: int, y1: int
+                  ) -> np.ndarray:
+    h, w = img.shape
+    cx, cy = w // 2, h // 2
+    th = math.radians(angle_deg)
+    a = -math.tan(th / 2)
+    b = math.sin(th)
+    ys_full = np.arange(h, dtype=np.float32)
+    # pass 1: x-shear over all rows (cheap slices)
+    g1 = _shear_rows_cubic(img, a * (ys_full - cy))
+    # pass 2: y-shear, only output rows [y0, y1): 4 gathers
+    xs = np.arange(w, dtype=np.float32)
+    sy = b * (xs - cx)  # per-column source row offset
+    k = np.floor(sy).astype(np.int32)
+    t = (sy - k).astype(np.float32)
+    lut = _cubic_lut()
+    q = np.rint(t * _CUBIC_LEVELS).astype(np.int32)
+    wy = lut[q]  # (w, 4)
+    ys_band = np.arange(y0, y1, dtype=np.int32)[:, None]
+    flat = g1.ravel()
+    out2 = np.zeros((y1 - y0, w), dtype=np.float32)
+    scratch = np.empty_like(out2)
+    col_ix = np.arange(w, dtype=np.int32)[None, :]
+    for j in range(4):
+        rows = np.clip(ys_band + (k[None, :] + j - 1), 0, h - 1)
+        idx = rows * np.int32(w) + col_ix
+        np.take(flat, idx, out=scratch.view())
+        scratch *= wy[None, :, j][0]
+        out2 += scratch
+    # pass 3: x-shear on the band
+    ys2 = np.arange(y0, y1, dtype=np.float32)
+    out3 = _shear_rows_cubic(out2, a * (ys2 - cy))
+    return np.clip(np.round(out3, out=out3), 0, 255).astype(np.uint8)
+
+
 def _cubic_weights(t: np.ndarray, a: float = -0.75) -> tuple[np.ndarray, ...]:
     """BiCubic convolution weights for offsets -1, 0, 1, 2 at fraction t."""
     t2, t3 = t * t, t * t * t
@@ -262,26 +394,52 @@ def _cubic_weights(t: np.ndarray, a: float = -0.75) -> tuple[np.ndarray, ...]:
     return w0, w1, w2, w3
 
 
+_CUBIC_LUT: np.ndarray | None = None
+_CUBIC_LEVELS = 64
+
+
+def _cubic_lut() -> np.ndarray:
+    """(levels+1, 4) float32 table of bicubic weights over quantized
+    fractions — replaces per-pixel polynomial evaluation (the weight
+    curve is smooth; 1/64 quantization is far below the uint8 rounding
+    of the output)."""
+    global _CUBIC_LUT
+    if _CUBIC_LUT is None:
+        t = np.arange(_CUBIC_LEVELS + 1) / _CUBIC_LEVELS
+        _CUBIC_LUT = np.stack(_cubic_weights(t), axis=1).astype(np.float32)
+    return _CUBIC_LUT
+
+
 def _bicubic_sample(img: np.ndarray, src_x: np.ndarray, src_y: np.ndarray) -> np.ndarray:
     h, w = img.shape
-    fimg = img.astype(np.float32)
+    fimg = np.ascontiguousarray(img, dtype=np.float32)
+    flat = fimg.ravel()
     src_x = src_x.astype(np.float32)
     src_y = src_y.astype(np.float32)
     x0 = np.floor(src_x).astype(np.int32)
     y0 = np.floor(src_y).astype(np.int32)
-    tx = src_x - x0
-    ty = src_y - y0
-    wx = _cubic_weights(tx)
-    wy = _cubic_weights(ty)
+    lut = _cubic_lut()
+    qx = np.rint((src_x - x0) * _CUBIC_LEVELS).astype(np.int32)
+    qy = np.rint((src_y - y0) * _CUBIC_LEVELS).astype(np.int32)
+    wx = [lut[:, i][qx] for i in range(4)]
+    wy = [lut[:, j][qy] for j in range(4)]
     out = np.zeros(src_x.shape, dtype=np.float32)
+    scratch = np.empty_like(out)
+    idx = np.empty(src_x.shape, dtype=np.int32)
+    row_acc = np.empty_like(out)
     for j in range(4):
         yy = np.clip(y0 + j - 1, 0, h - 1)
-        row_acc = np.zeros(src_x.shape, dtype=np.float32)
+        base = yy * np.int32(w)
+        row_acc[:] = 0
         for i in range(4):
-            xx = np.clip(x0 + i - 1, 0, w - 1)
-            row_acc += wx[i] * fimg[yy, xx]
-        out += wy[j] * row_acc
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+            np.clip(x0 + np.int32(i - 1), 0, w - 1, out=idx)
+            idx += base
+            np.take(flat, idx, out=scratch.view())  # flattened gather
+            scratch *= wx[i]
+            row_acc += scratch
+        row_acc *= wy[j]
+        out += row_acc
+    return np.clip(np.round(out, out=out), 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------- min-area rect

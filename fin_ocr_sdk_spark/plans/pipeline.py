@@ -48,17 +48,31 @@ SCAN_OUT_SCHEMA = StructType([
 SPAN_OUT_COLS = ("doc_id", "kind", "text", "media_ref", "order")
 
 
-def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def make_scan_batches(templates=None):
+    """Build the mapInPandas kernel with the template tensor captured in
+    the closure: constructed ONCE on the driver (~145 KB pickled) and
+    shipped to every worker, instead of each python worker re-rendering
+    and re-extracting the glyph sheet (which serializes poorly when 32
+    cold workers start at once).  Mirrors the reference's init-once
+    translator (src/ocr.ts:44-56) with Spark's broadcast-by-closure."""
+    if templates is None:
+        from ..plans.scan import get_default_templates
+        templates = get_default_templates()
+
+    def scan_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return scan_batches(batches, templates)
+
+    return scan_fn
+
+
+def scan_batches(batches: Iterator[pd.DataFrame],
+                 templates=None) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, media_ref, offset, format, image) →
     emitted OCR spans (micr:line/routing/account/check), sub_order 1..4
-    (the source image span itself passes through outside the UDF).
-
-    Init-once-per-worker: the 36x36 template tensor is a module global
-    (plans/scan.get_default_templates), mirroring the reference's
-    translator init (src/ocr.ts:44-56).
-    """
+    (the source image span itself passes through outside the UDF)."""
     from ..plans.scan import get_default_templates, scan_check
-    templates = get_default_templates()
+    if templates is None:
+        templates = get_default_templates()
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in
                                 ("doc_id", "offset", "sub_order", "kind",
@@ -92,9 +106,12 @@ def byte_weighted_partitions(df: DataFrame, bytes_col: str = "image",
                              target_bytes: int = 64 << 20) -> int:
     """Partition count sized by total payload bytes, not row count — the
     skew axis for media tables is bytes/row (SURVEY §4).  One cheap agg
-    job; at 100 TB this statistic comes from table metadata instead."""
+    job; at 100 TB this statistic comes from table metadata instead.
+    Floored at the cluster's default parallelism so small inputs still
+    use every core (the byte count dominates once input >> cluster)."""
     total = df.select(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
-    return max(1, math.ceil(total / target_bytes))
+    floor = df.sparkSession.sparkContext.defaultParallelism
+    return max(floor, math.ceil(total / target_bytes))
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -119,7 +136,7 @@ def extract_spans(documents: DataFrame, media: DataFrame,
         # bytes/row variance is bounded by the canvas size here, and AQE
         # rebalances stragglers at real scale
         scan_input = scan_input.repartition(nparts, "media_ref")
-    emitted = scan_input.mapInPandas(scan_batches, SCAN_OUT_SCHEMA)
+    emitted = scan_input.mapInPandas(make_scan_batches(), SCAN_OUT_SCHEMA)
     originals = spans.withColumn("sub_order", F.lit(0))
     unioned = originals.unionByName(
         emitted.select("doc_id", "kind", "text", "media_ref",

@@ -40,22 +40,33 @@ class ScanResult:
     char_choices: list = field(default_factory=list)
 
 
-def skew_angle(gray: np.ndarray) -> float:
+def skew_angle(gray: np.ndarray, downscale: int = 2) -> float:
     """Skew estimate (src/image.ts:591-607 + findSkewContourV3):
     blur(7) → Otsu-inv → dilate 25x1 → among contours with w>120,
     10<h<100, not border-touching, pick min areaFitRatio (rect area /
     filled area — most rectangle-like) → min-area-rect angle with the
-    V1 correction (src/contour.ts:130-141)."""
-    img = K.gaussian_blur(gray, 7)
+    V1 correction (src/contour.ts:130-141).
+
+    Scale deviation: estimation runs on a `downscale`-strided image
+    (thresholds scaled to match) — the min-area-rect angle of a long
+    bar is scale-invariant to well under the correction tolerance, and
+    the full-resolution pass is the scan stage's single largest memory
+    load at high worker concurrency.  Rotation itself stays full-res.
+    """
+    ds = downscale if min(gray.shape) >= 128 * downscale else 1
+    small = gray[::ds, ::ds] if ds > 1 else gray
+    img = K.gaussian_blur(small, 7)
     img = K.otsu_binary_inv(img)
-    img = K.dilate(img, 25, 1)
+    img = K.dilate(img, max(2, 25 // ds), 1)
     h, w = img.shape
     regions = K.find_regions(img)
     best = None
     best_ratio = None
     for r in regions:
         rx, ry, rw, rh = r.rect
-        if not (rw > 120 and 10 < rh < 100):
+        # scaled thresholds with a half-pixel allowance for the strided
+        # sampling (full-res h<100 ⇒ half-res h ≤ ceil(99/2) = 50)
+        if not (rw > 120 / ds - 1 and 10 / ds - 1 < rh < 100 / ds + 0.5):
             continue
         from ..functions.geometry import rect_touches_border
         if rect_touches_border(r.rect, (w, h)):
@@ -66,16 +77,29 @@ def skew_angle(gray: np.ndarray) -> float:
             best = r
     if best is None:
         return 0.0
+    if ds > 1:
+        # angle precision on short bars needs full resolution: re-measure
+        # the chosen candidate's region on a full-res crop (tiny compared
+        # to a full-res detection pass)
+        x, y, rw, rh = best.rect
+        x0 = max(0, x * ds - ds)
+        y0 = max(0, y * ds - ds)
+        x1 = min(gray.shape[1], (x + rw) * ds + ds)
+        y1 = min(gray.shape[0], (y + rh) * ds + ds)
+        crop = K.gaussian_blur(gray[y0:y1, x0:x1], 7)
+        mask = K.otsu_binary_inv(crop) > 0
+    else:
+        mask = best.mask()
     # hull of a filled region == hull of its per-row x extremes: feed
     # O(rows) points into the calipers instead of O(pixels)
-    mask = best.mask()
     rows = np.nonzero(mask.any(axis=1))[0]
+    if len(rows) == 0:
+        return 0.0
     first = np.argmax(mask[rows], axis=1)
     last = mask.shape[1] - 1 - np.argmax(mask[rows, ::-1], axis=1)
-    bx, by = best.rect[0], best.rect[1]
     pts = np.concatenate([
-        np.column_stack([first + bx, rows + by]),
-        np.column_stack([last + bx, rows + by]),
+        np.column_stack([first, rows]),
+        np.column_stack([last, rows]),
     ]).astype(float)
     mw, mh, ang = K.min_area_rect(pts)
     return K.skew_angle_from_rect(mw, mh, ang)

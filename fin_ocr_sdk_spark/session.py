@@ -19,6 +19,11 @@ def get_spark(app: str = "fin-ocr-sdk-spark", master: str | None = None,
       SPARK_GRAFT_CPUS), sized up by the byte-weighted repartition for
       the scan stage (plans/pipeline.py)
     """
+    # one BLAS thread per python worker: the scan stage runs one worker
+    # per core, so nested BLAS threading only thrashes caches
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or cpus

@@ -62,6 +62,17 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = width * channels
+    # fast path: all scanline filters are 0 (our encoder's output) →
+    # one bulk reshape instead of the per-row filter loop
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not arr[:, 0].any():
+        img = arr[:, 1:].reshape(height, width, channels)
+        if channels == 1:
+            return img[:, :, 0].copy()
+        if channels >= 3:
+            w8 = np.array([0.299, 0.587, 0.114])
+            return np.clip(np.round(img[:, :, :3] @ w8), 0, 255).astype(np.uint8)
+        return img[:, :, 0].copy()
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0

@@ -48,19 +48,27 @@ SCAN_OUT_SCHEMA = StructType([
 SPAN_OUT_COLS = ("doc_id", "kind", "text", "media_ref", "order")
 
 
-def make_scan_batches(templates=None):
-    """Build the mapInPandas kernel with the template tensor captured in
-    the closure: constructed ONCE on the driver (~145 KB pickled) and
-    shipped to every worker, instead of each python worker re-rendering
-    and re-extracting the glyph sheet (which serializes poorly when 32
-    cold workers start at once).  Mirrors the reference's init-once
-    translator (src/ocr.ts:44-56) with Spark's broadcast-by-closure."""
+def make_scan_batches(templates=None, kernel=None, spark=None):
+    """Build the mapInPandas kernel with the template tensor attached:
+    constructed ONCE on the driver (~145 KB pickled), shipped as a Spark
+    broadcast when a session is given (deserialized once per WORKER and
+    cached), else captured in the closure (deserialized per task).
+    Mirrors the reference's init-once translator (src/ocr.ts:44-56)."""
     if templates is None:
         from ..plans.scan import get_default_templates
         templates = get_default_templates()
+    kernel = kernel or scan_batches
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(templates)
+
+        def scan_fn_bc(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+            return kernel(batches, bc.value)
+
+        return scan_fn_bc
 
     def scan_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return scan_batches(batches, templates)
+        return kernel(batches, templates)
 
     return scan_fn
 
@@ -109,7 +117,26 @@ def byte_weighted_partitions(df: DataFrame, bytes_col: str = "image",
     job; at 100 TB this statistic comes from table metadata instead.
     Floored at the cluster's default parallelism so small inputs still
     use every core (the byte count dominates once input >> cluster)."""
-    total = df.select(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
+    total = 0
+    try:
+        # metadata fast path: sum the column's uncompressed size from
+        # parquet footers — no data read at all
+        import pyarrow.parquet as papq
+        files = df.inputFiles()
+        if files:
+            for f in files:
+                path = f.replace("file:", "")
+                meta = papq.ParquetFile(path).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema == bytes_col:
+                            total += col.total_uncompressed_size
+    except Exception:  # noqa: BLE001 — non-parquet / remote source
+        total = 0
+    if total == 0:
+        total = df.select(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
     floor = df.sparkSession.sparkContext.defaultParallelism
     return max(floor, math.ceil(total / target_bytes))
 
@@ -120,27 +147,118 @@ def explode_spans(documents: DataFrame) -> DataFrame:
             .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
 
 
+MEDIA_SCAN_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("sub_order", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+])
+
+
+def scan_media_files(batches: Iterator[pd.DataFrame],
+                     templates=None) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over (path) rows: each worker reads its media
+    parquet file DIRECTLY with pyarrow and scans every image in it.
+
+    Rationale: media bytes never cross the JVM.  Shipping ~350 KB
+    binaries through Spark's row → Arrow → python path measurably
+    stalls at high task concurrency (tasks 2/3 off-CPU waiting on the
+    transfer), and at 10^12-document scale shuffling or re-serializing
+    the media payload is exactly the thing a pipeline must not do —
+    the engine plans over METADATA; workers pull bulk bytes straight
+    from storage (the classic petabyte image-pipeline layout).
+    """
+    from ..plans.scan import get_default_templates, scan_check
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    # one worker per core: pyarrow's default per-process thread pool
+    # (ncpus wide) would put 32x32 threads on the host
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    if templates is None:
+        templates = get_default_templates()
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in
+                                ("media_ref", "sub_order", "kind", "text")}
+        for path in pdf["path"]:
+            table = papq.read_table(path.replace("file:", ""),
+                                    use_threads=False)
+            for ref, fmt, image in zip(
+                    table.column("media_ref").to_pylist(),
+                    table.column("format").to_pylist(),
+                    table.column("image").to_pylist()):
+                res = scan_check(image, fmt, templates)
+                if res.ok and res.check_info is not None:
+                    emitted = (
+                        ("micr:line", res.check_info.micr_line),
+                        ("micr:routing", res.check_info.routing_number),
+                        ("micr:account", res.check_info.account_number),
+                        ("micr:check", res.check_info.check_number),
+                    )
+                else:
+                    emitted = (("micr:error", res.error),)
+                for k, (kind, text) in enumerate(emitted, start=1):
+                    out["media_ref"].append(ref)
+                    out["sub_order"].append(k)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+        yield pd.DataFrame(out)
+
+
+def _media_files_df(media: DataFrame) -> DataFrame | None:
+    files = media.inputFiles()
+    if not files:
+        return None
+    spark = media.sparkSession
+    # two waves per core slot: amortizes the fixed per-task
+    # python-runner cost over several files; round-robin repartition
+    # keeps per-task file counts within +/-1
+    nparts = max(1, min(len(files),
+                        spark.sparkContext.defaultParallelism * 2))
+    return spark.createDataFrame([(f,) for f in sorted(files)],
+                                 "path string").repartition(nparts)
+
+
 def extract_spans(documents: DataFrame, media: DataFrame,
                   target_partition_bytes: int = 64 << 20,
-                  repartition_scan: bool = True) -> DataFrame:
+                  repartition_scan: bool | None = None) -> DataFrame:
     """Full pipeline: interleaved documents + media → output span table
-    under the (kind, text, media_ref, order) invariant."""
+    under the (kind, text, media_ref, order) invariant.
+
+    Media strategy — never move image bytes through the engine:
+
+    1. *direct* (default, file-backed media): plan over the media FILE
+       LIST; each scan task reads its parquet part directly with
+       pyarrow and emits only extracted text.  The relational join to
+       per-document span metadata happens on the (tiny) OCR output.
+    2. *arrow* (repartition_scan set, or non-file media): classic
+       image-span ⋈ media join with byte-weighted repartitioning —
+       needed when media rows are filtered/bucketed upstream so direct
+       file reads would over-scan.
+    """
     spans = explode_spans(documents)
     image_spans = (spans.filter(F.col("kind") == "image")
                    .select("doc_id", "media_ref", "offset"))
-    scan_input = image_spans.join(media, "media_ref")
-    if repartition_scan:
+    files_df = None if repartition_scan else _media_files_df(media)
+    if files_df is not None:
+        per_media = files_df.mapInPandas(
+            make_scan_batches(kernel=scan_media_files,
+                              spark=documents.sparkSession),
+            MEDIA_SCAN_SCHEMA)
+        emitted = (image_spans.join(per_media, "media_ref")
+                   .select("doc_id", "kind", "text", "media_ref",
+                           "offset", "sub_order"))
+    else:
         nparts = byte_weighted_partitions(media, "image",
                                           target_partition_bytes)
-        # hash-distribute on media_ref: refs are unique → uniform load;
-        # bytes/row variance is bounded by the canvas size here, and AQE
-        # rebalances stragglers at real scale
-        scan_input = scan_input.repartition(nparts, "media_ref")
-    emitted = scan_input.mapInPandas(make_scan_batches(), SCAN_OUT_SCHEMA)
+        scan_input = (image_spans.join(media, "media_ref")
+                      .repartition(nparts, "media_ref"))
+        emitted = (scan_input
+                   .mapInPandas(make_scan_batches(), SCAN_OUT_SCHEMA)
+                   .select("doc_id", "kind", "text", "media_ref",
+                           "offset", "sub_order"))
     originals = spans.withColumn("sub_order", F.lit(0))
-    unioned = originals.unionByName(
-        emitted.select("doc_id", "kind", "text", "media_ref",
-                       "offset", "sub_order"))
+    unioned = originals.unionByName(emitted)
     w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
     return (unioned
             .withColumn("order", (F.row_number().over(w) - F.lit(1))
@@ -187,4 +305,5 @@ def preprocess_only(documents: DataFrame, media: DataFrame) -> DataFrame:
     spans = explode_spans(documents)
     image_spans = (spans.filter(F.col("kind") == "image")
                    .select("doc_id", "media_ref"))
-    return image_spans.join(media, "media_ref").mapInPandas(batches, schema)
+    return (media.join(F.broadcast(image_spans), "media_ref")
+            .mapInPandas(batches, schema))

@@ -36,6 +36,10 @@ def get_spark(app: str = "fin-ocr-sdk-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # media payloads decompress ~10:1 out of parquet: split scans by
+        # the UNCOMPRESSED working set, not on-disk bytes (one media
+        # part file per task)
+        .config("spark.sql.files.maxPartitionBytes", str(4 << 20))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.python.worker.reuse", "true")

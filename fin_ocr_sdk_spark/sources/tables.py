@@ -47,38 +47,53 @@ def materialize_fixtures(out_dir: str, n_docs: int, seed: int = 42,
     """Write all fixture tables under ``out_dir``; cached by manifest."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
-    want = {"n_docs": n_docs, "seed": seed, "version": 3}
+    want = {"n_docs": n_docs, "seed": seed, "version": 7}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:
                 return out_dir
     workers = workers or min(os.cpu_count() or 8, 32)
-    chunk = max(1, (n_docs + workers - 1) // workers)
+    # media chunking doubles as the parquet file layout: uncompressed
+    # TIFF/BMP payloads compress ~10:1 in parquet, so a single file /
+    # row group would force every Spark read of the image column
+    # through ONE task; many small part files give parallel scans
+    # (exactly how a 100 TB media table is laid out in practice)
+    chunk = min(32, max(1, (n_docs + workers - 1) // workers))
     tasks = [(i, min(chunk, n_docs - i), seed)
              for i in range(0, n_docs, chunk)]
     docs: list = []
-    media: list = []
     expected: list = []
+    media_dir = os.path.join(out_dir, "media.parquet")
+    if os.path.isdir(media_dir):
+        for f in os.listdir(media_dir):
+            os.unlink(os.path.join(media_dir, f))
+    os.makedirs(media_dir, exist_ok=True)
+
+    def write_media_part(idx: int, media_rows: list) -> None:
+        pq.write_table(pa.table({
+            "media_ref": [r["media_ref"] for r in media_rows],
+            "format": [r["format"] for r in media_rows],
+            "image": pa.array([r["image"] for r in media_rows],
+                              type=pa.binary()),
+        }), os.path.join(media_dir, f"part-{idx:05d}.parquet"),
+            row_group_size=len(media_rows))
+
     if len(tasks) > 1:
         with ProcessPoolExecutor(max_workers=workers) as ex:
-            for d, m, e in ex.map(_gen_chunk, tasks):
+            for pi, (d, m, e) in enumerate(ex.map(_gen_chunk, tasks)):
                 docs.extend(d)
-                media.extend(m)
                 expected.extend(e)
+                write_media_part(pi, m)
     else:
         d, m, e = _gen_chunk(tasks[0])
-        docs, media, expected = d, m, e
+        docs, expected = d, e
+        write_media_part(0, m)
 
     pq.write_table(pa.table({
         "doc_id": [r["doc_id"] for r in docs],
         "spans": pa.array([r["spans"] for r in docs],
                           type=pa.list_(SPAN_TYPE)),
     }), os.path.join(out_dir, "documents.parquet"))
-    pq.write_table(pa.table({
-        "media_ref": [r["media_ref"] for r in media],
-        "format": [r["format"] for r in media],
-        "image": pa.array([r["image"] for r in media], type=pa.binary()),
-    }), os.path.join(out_dir, "media.parquet"))
     pq.write_table(pa.table({
         "doc_id": [r["doc_id"] for r in expected],
         "kind": [r["kind"] for r in expected],

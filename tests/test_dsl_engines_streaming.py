@@ -1,0 +1,147 @@
+"""Scanner action DSL, translator registry, supervised correction, and
+the Structured-Streaming video-loop analog."""
+
+import numpy as np
+import pytest
+
+from fin_ocr_sdk_spark.config import Config
+from fin_ocr_sdk_spark.operators import kernels as K
+from fin_ocr_sdk_spark.operators.templates import render_glyph
+from fin_ocr_sdk_spark.plans.classify_learn import learn_char
+from fin_ocr_sdk_spark.plans.scan import get_default_templates
+from fin_ocr_sdk_spark.plans.scanner_dsl import (DigitStripScanner, Scanner)
+from fin_ocr_sdk_spark.plans.translators import (TesseractEngine,
+                                                 build_engines,
+                                                 translate_all)
+
+
+# ------------------------------------------------------------ DSL
+
+def test_scanner_validation_errors():
+    with pytest.raises(ValueError, match="not a valid action type"):
+        Scanner([{"type": "sharpen"}])
+    with pytest.raises(ValueError, match="unknown property"):
+        Scanner([{"type": "blur", "radius": 3}])
+    # valid specs construct fine; types are case-insensitive at scan
+    Scanner([{"type": "gray"}, {"type": "blur", "dimension": 7}])
+
+
+def test_scanner_executes_pipeline():
+    img = np.full((60, 80), 220, dtype=np.uint8)
+    img[20:40, 10:70] = 30
+    s = Scanner([{"type": "gray"}, {"type": "blur", "dimension": 3},
+                 {"type": "threshold"}])
+    out = s.scan(img)
+    assert out.shape == img.shape
+    assert out[30, 40] == 255  # dark block became ink
+    assert out[5, 5] == 0
+
+
+def test_scanner_crop_and_invert():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    s = Scanner([{"type": "crop", "beginHeight": 0.5},
+                 {"type": "invert"}])
+    out = s.scan(img)
+    assert out.shape == (5, 10)
+    assert out[0, 0] == 255 - 50
+
+
+def test_digit_strip_scanner():
+    """CardScanner analog: a strip of digits on paper, no MICR line."""
+    strip = np.full((80, 400), 235, dtype=np.uint8)
+    x = 20
+    for ch in "40123":
+        g = render_glyph(ch)
+        strip[26:26 + g.shape[0], x:x + g.shape[1]][g > 0] = 20
+        x += g.shape[1] + 8
+    scanner = DigitStripScanner()
+    assert scanner.scan(strip) == "40123"
+
+
+# ----------------------------------------------------- registry
+
+def test_registry_selects_and_rejects():
+    engines = build_engines(Config(translators="opencv"))
+    assert list(engines) == ["opencv"]
+    with pytest.raises(ValueError, match="Invalid translator name"):
+        build_engines(Config(translators="opencv,magic"))
+    with pytest.raises(ImportError, match="pytesseract"):
+        build_engines(Config(translators="tesseract,opencv"))
+    with pytest.raises(ImportError):
+        TesseractEngine()
+
+
+def _make_line(micr_text="U2154U T031100649T 4400000084U"):
+    from fin_ocr_sdk_spark.operators.segment import find_micr_line_info
+    from fin_ocr_sdk_spark.plans.scan import get_micr_band
+    from fin_ocr_sdk_spark.sources.fixtures import CheckSpec, compose_check
+    rng = np.random.default_rng(3)
+    spec = CheckSpec(micr_text=micr_text, skew=0.0, fmt="png",
+                     dark_header=False, noise=False)
+    img = compose_check(spec, rng)
+    band = get_micr_band(K.grayscale(img))
+    binary = K.adaptive_threshold_gaussian_inv(K.gaussian_blur(band, 3),
+                                               19, 1)
+    tmpl = get_default_templates()
+    zt, zn = tmpl.zero()
+    li = find_micr_line_info(binary, zt, zn, Config())
+    assert li is not None
+    return li[0], spec.micr_text.replace(" ", "")
+
+
+def test_translate_all_fan_out():
+    line, expect = _make_line()
+    engines = build_engines(Config(translators="opencv"))
+    results = translate_all(engines, line)
+    assert set(results) == {"opencv"}
+    assert results["opencv"].value == expect
+
+
+def test_supervised_correction_learns_template():
+    line, expect = _make_line()
+    engines = build_engines(Config(translators="opencv"))
+    eng = engines["opencv"]
+    n_before = len(eng.templates.values)
+    # claim the actual differs at position 0 → engine must learn + emit it
+    actual = "D" + expect[1:]
+    res = eng.translate(line, correct=True, actual=actual)
+    assert res.value == actual
+    assert len(eng.templates.values) == n_before + 1
+    assert eng.templates.values[-1] == "D"
+    # length mismatch disables correction (reference contract)
+    res2 = eng.translate(line, correct=True, actual="123")
+    assert res2.value == expect
+
+
+def test_learn_char_pure():
+    tmpl = get_default_templates()
+    g = np.zeros((36, 36), dtype=np.uint8)
+    g[10:26, 10:26] = 255
+    t2 = learn_char(tmpl, g, "7")
+    assert len(t2.values) == len(tmpl.values) + 1
+    assert t2.tensor.shape[0] == tmpl.tensor.shape[0] + 1
+    # original is untouched (frozen semantics)
+    assert len(tmpl.values) == 14
+
+
+# ---------------------------------------------------- streaming
+
+@pytest.mark.parametrize("nothing", [None])
+def test_streaming_drain(nothing, tmp_path):
+    from fin_ocr_sdk_spark.session import get_spark
+    from fin_ocr_sdk_spark.sources.tables import fixture_dir
+    from fin_ocr_sdk_spark.streaming.video import demo
+    import os
+    smoke = fixture_dir("smoke", 16)
+    spark = get_spark("pytest-stream", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        results, q = demo(spark, os.path.join(smoke, "media.parquet"))
+        kinds = {r["kind"] for r in results}
+        assert {"micr:line", "micr:routing", "micr:account",
+                "micr:check"} <= kinds
+        refs = {r["media_ref"] for r in results}
+        assert len(refs) == 16
+        assert not any(r["kind"] == "micr:error" for r in results)
+    finally:
+        spark.stop()

@@ -281,6 +281,39 @@ def q_x9_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_replace(micr, "\\s", "").alias("micr"))
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with a
+    segment filter, revenue agg, top-10 — multi-join + agg + limit
+    breadth over the driver tables (customer is broadcast-size)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    # integer cents via an identical floor expression on both engines:
+    # round() on doubles differs at half-representable points
+    rev = F.floor(F.sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))) * 100 + F.lit(0.5)) \
+        .cast("long")
+    return (joined.groupBy("l_orderkey", "o_orderdate")
+            .agg(rev.alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue_cents"))
+
+
+def q_part_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping + count-distinct breadth: per part brand, distinct sizes
+    and average retail price."""
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.countDistinct("p_size").alias("n_sizes"),
+                 F.floor(F.avg("p_retailprice") * 100 + F.lit(0.5))
+                 .cast("long").alias("avg_price_cents"),
+                 F.count(F.lit(1)).alias("n_parts")))
+
+
 # ------------------------------------------------ training-data ops
 
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,29 +476,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact baseline of similarity
-    search.  Query set = vec_id < 8; neighbors over the full table via
-    broadcast cross join; top-5 per query by double-precision cosine."""
+    search.  Query set = vec_id < 8, collected to the driver (tiny) and
+    closed over as a NumPy matrix; similarities computed as one matmul
+    per Arrow batch inside mapInPandas (Catalyst's higher-order lambdas
+    are interpreted per element — 20x+ slower); top-5 per query via a
+    window over the (n_queries x n_vectors) score rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"))
-    joined = e.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm_a = F.sqrt(F.aggregate(
-        F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    norm_b = F.sqrt(F.aggregate(
-        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    sim = dot / (norm_a * norm_b)
+    qrows = (e.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").collect())
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("sim", DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            norms = np.linalg.norm(vecs, axis=1)
+            sims = (vecs @ q_mat.T) / np.outer(norms, q_norm)  # (N, Q)
+            n, qn = sims.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
+                "vec_id": np.repeat(ids, qn),
+                "sim": sims.ravel(),
+            })
+
+    scored = (e.mapInPandas(score, schema)
+              .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("vec_id"))
-    return (joined.withColumn("sim", sim)
-            .withColumn("rk", F.row_number().over(w))
+    return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     F.round("sim", 4).alias("cosine")))
@@ -552,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_scalars": q_regexp_scalars,
         "range_join": q_range_join,
         "x9_compose": q_x9_compose,
+        "shipping_priority": q_shipping_priority,
+        "part_size_distribution": q_part_size_distribution,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -698,6 +751,26 @@ def oracle_sql() -> dict[str, str]:
                                     CAST(o_orderkey AS VARCHAR), '/', 'U'),
                      '\\s', '', 'g') AS micr
             FROM orders
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, revenue_cents FROM (
+              SELECT l_orderkey, o_orderdate,
+                     CAST(floor(sum(l_extendedprice * (1 - l_discount))
+                                * 100 + 0.5) AS BIGINT) AS revenue_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey, o_orderdate) t
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "part_size_distribution": """
+            SELECT p_brand, count(DISTINCT p_size) AS n_sizes,
+                   CAST(floor(avg(p_retailprice) * 100 + 0.5) AS BIGINT)
+                       AS avg_price_cents,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_brand
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups

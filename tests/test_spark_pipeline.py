@@ -44,6 +44,27 @@ def test_no_micr_errors(spark, smoke_dir):
     assert out.filter(out.kind == "micr:error").count() == 0
 
 
+def test_filtered_media_respected_by_direct_reads(spark, smoke_dir):
+    """Regression: the direct file-read strategy must honor relational
+    filters on the media DataFrame (inputFiles() is pre-filter, so the
+    semi-join on media_ref re-applies them)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = (spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+             .filter(F.col("media_ref") > "img-00000007"))
+    out = extract_spans(docs, media)
+    excluded = (out.filter((out.doc_id == "doc-00000000")
+                           & out.kind.startswith("micr")).count())
+    assert excluded == 0  # doc0's media was filtered out
+    kept = (out.filter((out.doc_id == "doc-00000009")
+                       & (out.kind == "micr:line")).count())
+    assert kept == 1
+    # renumbering stays dense for the filtered doc
+    orders = [r.order for r in out.filter(out.doc_id == "doc-00000000")
+              .orderBy("order").collect()]
+    assert orders == list(range(len(orders)))
+
+
 def test_preprocess_only(spark, smoke_dir):
     docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
     media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))

@@ -161,20 +161,26 @@ def run_resumable_extract(spark: SparkSession, documents: DataFrame,
     idempotent and restart-safe.  Returns run stats."""
     run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
-    all_files = sorted(f.replace("file:", "") for f in media.inputFiles())
+    all_files = [f.replace("file:", "") for f in media.inputFiles()]
+    # committed-work diff as a distributed ANTI-JOIN, not a driver-side
+    # python set: at 10^12-doc scale the lineage table has millions of
+    # rows and must never be collected.  (The file list itself comes
+    # from inputFiles() here; on Iceberg it would be the snapshot's
+    # file manifest read as a DataFrame.)
+    files_df = spark.createDataFrame([(f,) for f in all_files],
+                                     "path string")
     lineage = committed_lineage(spark, out_dir)
-    done: set[str] = set()
     if lineage is not None:
-        done = {r.media_file for r in
-                lineage.select("media_file").distinct().collect()}
-    pending = [f for f in all_files if f not in done]
-    if pending:
-        nparts = max(1, min(len(pending),
+        files_df = files_df.join(
+            lineage.select(F.col("media_file").alias("path")).distinct(),
+            "path", "anti")
+    n_pending = files_df.count()
+    if n_pending:
+        nparts = max(1, min(n_pending,
                             spark.sparkContext.defaultParallelism * 2))
-        files_df = spark.createDataFrame([(f,) for f in pending],
-                                         "path string").repartition(nparts)
         kernel = make_lineage_kernel(out_dir, run_id, spark=spark)
-        new_lineage = files_df.mapInPandas(kernel, LINEAGE_SCHEMA)
+        new_lineage = (files_df.repartition(nparts)
+                       .mapInPandas(kernel, LINEAGE_SCHEMA))
         # lineage-last: the append below only happens after every span
         # file in this run has been atomically renamed into place
         (new_lineage.coalesce(1).write.mode("append")
@@ -184,8 +190,8 @@ def run_resumable_extract(spark: SparkSession, documents: DataFrame,
     agg = lineage.agg(F.sum("doc_count"), F.sum("span_count")).first()
     return ExtractRunResult(
         run_id=run_id,
-        scanned_files=len(pending),
-        skipped_files=len(all_files) - len(pending),
+        scanned_files=n_pending,
+        skipped_files=len(all_files) - n_pending,
         doc_count=int(agg[0] or 0),
         span_count=int(agg[1] or 0),
     )
@@ -193,14 +199,33 @@ def run_resumable_extract(spark: SparkSession, documents: DataFrame,
 
 def emitted_spans(spark: SparkSession, out_dir: str) -> DataFrame:
     """All committed emitted spans: ONLY span files with lineage rows
-    are read (orphans from failed runs stay invisible)."""
+    are read (orphans from failed runs stay invisible).
+
+    Commit membership is enforced with a distributed semi-join on the
+    partition id recovered from each span file's name — no driver-side
+    collect of the lineage table (millions of rows at 10^12-doc scale).
+    Uncommitted ``<pid>.parquet`` orphans may be *opened* by the scan
+    but every row they contribute is dropped by the semi-join."""
     lineage = committed_lineage(spark, out_dir)
     if lineage is None:
         raise FileNotFoundError(f"no committed lineage under {out_dir}")
-    pids = [r.partition_id for r in
-            lineage.select("partition_id").distinct().collect()]
-    paths = [os.path.join(out_dir, "spans", f"{p}.parquet") for p in pids]
-    return spark.read.schema(EMITTED_SCHEMA).parquet(*paths)
+    spans_dir = os.path.join(out_dir, "spans")
+    # ignoreCorruptFiles: committed files are complete by construction
+    # (tmp-write + atomic rename, lineage-last); the only partial or
+    # foreign *.parquet here is an uncommitted orphan, which must not
+    # fail the read — the semi-join drops its rows anyway, and the
+    # lineage checksum column audits committed-file integrity
+    all_spans = (spark.read.schema(EMITTED_SCHEMA)
+                 .option("pathGlobFilter", "*.parquet")  # skip .tmp-*
+                 .option("ignoreCorruptFiles", "true")
+                 .parquet(spans_dir)
+                 .withColumn("partition_id",
+                             F.regexp_extract(F.input_file_name(),
+                                              r"([0-9a-f]+)\.parquet$", 1)))
+    return (all_spans
+            .join(lineage.select("partition_id").distinct(),
+                  "partition_id", "semi")
+            .drop("partition_id"))
 
 
 def assemble_output(documents: DataFrame, emitted: DataFrame) -> DataFrame:

@@ -195,27 +195,30 @@ def scan_media_files(batches: Iterator[pd.DataFrame],
         out: dict[str, list] = {k: [] for k in
                                 ("media_ref", "sub_order", "kind", "text")}
         for path in pdf["path"]:
-            table = papq.read_table(path.replace("file:", ""),
-                                    use_threads=False)
-            for ref, fmt, image in zip(
-                    table.column("media_ref").to_pylist(),
-                    table.column("format").to_pylist(),
-                    table.column("image").to_pylist()):
-                res = scan_check(image, fmt, templates)
-                if res.ok and res.check_info is not None:
-                    emitted = (
-                        ("micr:line", res.check_info.micr_line),
-                        ("micr:routing", res.check_info.routing_number),
-                        ("micr:account", res.check_info.account_number),
-                        ("micr:check", res.check_info.check_number),
-                    )
-                else:
-                    emitted = (("micr:error", res.error),)
-                for k, (kind, text) in enumerate(emitted, start=1):
-                    out["media_ref"].append(ref)
-                    out["sub_order"].append(k)
-                    out["kind"].append(kind)
-                    out["text"].append(text)
+            # stream record batches: memory stays bounded by the batch,
+            # not the part-file size (a 1 GB part must not become a
+            # 1 GB python list)
+            pf = papq.ParquetFile(path.replace("file:", ""))
+            for rb in pf.iter_batches(batch_size=32, use_threads=False):
+                for ref, fmt, image in zip(
+                        rb.column("media_ref").to_pylist(),
+                        rb.column("format").to_pylist(),
+                        rb.column("image").to_pylist()):
+                    res = scan_check(image, fmt, templates)
+                    if res.ok and res.check_info is not None:
+                        emitted = (
+                            ("micr:line", res.check_info.micr_line),
+                            ("micr:routing", res.check_info.routing_number),
+                            ("micr:account", res.check_info.account_number),
+                            ("micr:check", res.check_info.check_number),
+                        )
+                    else:
+                        emitted = (("micr:error", res.error),)
+                    for k, (kind, text) in enumerate(emitted, start=1):
+                        out["media_ref"].append(ref)
+                        out["sub_order"].append(k)
+                        out["kind"].append(kind)
+                        out["text"].append(text)
         yield pd.DataFrame(out)
 
 
@@ -225,12 +228,68 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
         return None
     spark = media.sparkSession
     # two waves per core slot: amortizes the fixed per-task
-    # python-runner cost over several files; round-robin repartition
-    # keeps per-task file counts within +/-1
+    # python-runner cost over several files; size-descending order +
+    # round-robin repartition stripes big files across tasks (near-LPT
+    # byte balance without a custom partitioner)
+    def fsize(f: str) -> int:
+        try:
+            import os
+            return os.path.getsize(f.replace("file:", ""))
+        except OSError:
+            return 0
     nparts = max(1, min(len(files),
                         spark.sparkContext.defaultParallelism * 2))
-    return spark.createDataFrame([(f,) for f in sorted(files)],
+    ordered = sorted(files, key=fsize, reverse=True)
+    return spark.createDataFrame([(f,) for f in ordered],
                                  "path string").repartition(nparts)
+
+
+def _is_bare_file_scan(df: DataFrame) -> bool:
+    """True iff the DataFrame is an unmodified file-source relation (no
+    Filter/Project/Join above the scan) — in that case the file list
+    returned by inputFiles() covers exactly the table's rows and the
+    direct-read path needs no corrective semi-join."""
+    try:
+        root = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        return root in ("LogicalRelation", "DataSourceV2Relation",
+                        "DataSourceV2ScanRelation")
+    except Exception:  # noqa: BLE001 — private API drift: stay safe
+        return False
+
+
+def _metadata_row_count(files: list[str]) -> int | None:
+    """Total row count straight from parquet footers — no data read.
+    At 100 TB this statistic comes from the Iceberg snapshot instead."""
+    try:
+        import pyarrow.parquet as papq
+        return sum(papq.ParquetFile(f.replace("file:", "")).metadata.num_rows
+                   for f in files)
+    except Exception:  # noqa: BLE001 — non-parquet source
+        return None
+
+
+def _choose_media_strategy(media: DataFrame) -> str:
+    """Pick the media scan strategy (see extract_spans docstring):
+
+    - ``direct``       unfiltered file-backed table: read parts directly,
+                       no corrective semi-join needed
+    - ``direct+semi``  filtered but still mostly-selective: direct reads
+                       plus a semi-join to re-apply the relational filter
+    - ``arrow``        heavily filtered (<50% of footer rows survive) or
+                       not file-backed: classic join + byte-weighted
+                       repartition so only surviving rows are decoded
+    """
+    files = media.inputFiles()
+    if not files:
+        return "arrow"
+    if _is_bare_file_scan(media):
+        return "direct"
+    total = _metadata_row_count(files)
+    if total:
+        surviving = media.count()  # column-pruned count, runs only when
+        if surviving < 0.5 * total:  # the media plan has filters on it
+            return "arrow"
+    return "direct+semi"
 
 
 def extract_spans(documents: DataFrame, media: DataFrame,
@@ -239,31 +298,40 @@ def extract_spans(documents: DataFrame, media: DataFrame,
     """Full pipeline: interleaved documents + media → output span table
     under the (kind, text, media_ref, order) invariant.
 
-    Media strategy — never move image bytes through the engine:
+    Media strategy — never move image bytes through the engine; chosen
+    automatically by :func:`_choose_media_strategy` (override with
+    ``repartition_scan``: True forces arrow, False forces direct):
 
-    1. *direct* (default, file-backed media): plan over the media FILE
+    1. *direct* (unfiltered file-backed media): plan over the media FILE
        LIST; each scan task reads its parquet part directly with
        pyarrow and emits only extracted text.  The relational join to
        per-document span metadata happens on the (tiny) OCR output.
-    2. *arrow* (repartition_scan set, or non-file media): classic
+       When the media plan carries filters, a semi-join on media_ref
+       re-applies them to the output (inputFiles() is pre-filter);
+       skipped entirely for a bare scan — no wasted ref-column pass.
+    2. *arrow* (heavily filtered or non-file media): classic
        image-span ⋈ media join with byte-weighted repartitioning —
-       needed when media rows are filtered/bucketed upstream so direct
-       file reads would over-scan.
+       direct file reads would decode every image only to drop most.
     """
     spans = explode_spans(documents)
     image_spans = (spans.filter(F.col("kind") == "image")
                    .select("doc_id", "media_ref", "offset"))
-    files_df = None if repartition_scan else _media_files_df(media)
+    if repartition_scan is None:
+        strategy = _choose_media_strategy(media)
+    elif repartition_scan:
+        strategy = "arrow"
+    else:
+        strategy = ("direct" if _is_bare_file_scan(media)
+                    else "direct+semi")
+    files_df = None if strategy == "arrow" else _media_files_df(media)
     if files_df is not None:
         per_media = files_df.mapInPandas(
             make_scan_batches(kernel=scan_media_files,
                               spark=documents.sparkSession),
             MEDIA_SCAN_SCHEMA)
-        # the file list ignores relational filters on `media`
-        # (inputFiles() is pre-filter), so re-apply them with a
-        # semi-join on the ref column — pruned scan, no image bytes
-        per_media = per_media.join(media.select("media_ref"),
-                                   "media_ref", "semi")
+        if strategy == "direct+semi":
+            per_media = per_media.join(media.select("media_ref"),
+                                       "media_ref", "semi")
         emitted = (image_spans.join(per_media, "media_ref")
                    .select("doc_id", "kind", "text", "media_ref",
                            "offset", "sub_order"))
@@ -324,5 +392,7 @@ def preprocess_only(documents: DataFrame, media: DataFrame) -> DataFrame:
     spans = explode_spans(documents)
     image_spans = (spans.filter(F.col("kind") == "image")
                    .select("doc_id", "media_ref"))
-    return (media.join(F.broadcast(image_spans), "media_ref")
+    # plain equi-join: image_spans is one row per document (the BIG
+    # side at scale) — AQE broadcasts it when it is actually small
+    return (media.join(image_spans, "media_ref")
             .mapInPandas(batches, schema))

@@ -76,6 +76,37 @@ def test_resume_from_partial_run(spark, smoke_dir, tmp_path_factory):
     pd.testing.assert_frame_equal(got[cols], exp[cols])
 
 
+def test_resume_many_files(spark, smoke_dir, tmp_path_factory):
+    """Scale-shape check for the anti-join resume: 200 media part files,
+    a partial first run, then a resumed full run — no driver-side set
+    diff, counts exact, all committed spans visible."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    base = pq.read_table(os.path.join(smoke_dir, "media.parquet"))
+    media_dir = str(tmp_path_factory.mktemp("many_media"))
+    n_files = 200
+    for i in range(n_files):
+        src = base.slice(i % base.num_rows, 1)
+        pq.write_table(pa.table({
+            "media_ref": [f"img-m{i:05d}"],
+            "format": src.column("format").to_pylist(),
+            "image": pa.array(src.column("image").to_pylist(),
+                              type=pa.binary()),
+        }), os.path.join(media_dir, f"part-{i:05d}.parquet"))
+    out_dir = str(tmp_path_factory.mktemp("many_out"))
+    first = [os.path.join(media_dir, f"part-{i:05d}.parquet")
+             for i in range(120)]
+    r1 = run_resumable_extract(spark, docs, spark.read.parquet(*first),
+                               out_dir)
+    assert (r1.scanned_files, r1.skipped_files) == (120, 0)
+    r2 = run_resumable_extract(
+        spark, docs, spark.read.parquet(media_dir), out_dir)
+    assert (r2.scanned_files, r2.skipped_files) == (80, 120)
+    assert emitted_spans(spark, out_dir).count() == n_files * 4
+
+
 def test_checksum_is_deterministic(spark, smoke_dir, tmp_path_factory):
     docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
     media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))

@@ -65,6 +65,39 @@ def test_filtered_media_respected_by_direct_reads(spark, smoke_dir):
     assert orders == list(range(len(orders)))
 
 
+def test_media_strategy_auto_selection(spark, smoke_dir):
+    """The pipeline picks the media scan strategy from the media plan:
+    bare scan → direct (no corrective semi-join); lightly filtered →
+    direct + semi-join; heavily filtered → arrow join path (so only
+    surviving rows are ever decoded — no full-file over-scan)."""
+    from pyspark.sql import functions as F
+
+    from fin_ocr_sdk_spark.plans.pipeline import _choose_media_strategy
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    assert _choose_media_strategy(media) == "direct"
+    light = media.filter(F.col("media_ref") >= "img-00000001")  # 15/16
+    assert _choose_media_strategy(light) == "direct+semi"
+    heavy = media.filter(F.col("media_ref") < "img-00000002")  # 2/16
+    assert _choose_media_strategy(heavy) == "arrow"
+
+
+def test_heavily_filtered_media_same_result_both_paths(spark, smoke_dir):
+    """Auto (arrow) and forced-direct strategies agree on a heavily
+    filtered media table."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = (spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+             .filter(F.col("media_ref") < "img-00000002"))
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    auto = (extract_spans(docs, media).toPandas()[cols]
+            .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    forced = (extract_spans(docs, media, repartition_scan=False)
+              .toPandas()[cols]
+              .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, forced)
+    assert (auto["kind"] == "micr:line").sum() == 2
+
+
 def test_preprocess_only(spark, smoke_dir):
     docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
     media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))

@@ -49,7 +49,7 @@ def main() -> None:
 
     # materialize the check corpus BEFORE timing (input data, not work)
     from fin_ocr_sdk_spark.sources.tables import fixture_dir
-    bench_dir = fixture_dir(f"bench{n_docs}", n_docs)
+    bench_dir = fixture_dir(f"bench{n_docs}", n_docs, lossy=False)
 
     from fin_ocr_sdk_spark.session import get_spark
     spark = get_spark("bench", master=master)

@@ -1,14 +1,11 @@
-"""Image codecs — pure stdlib (zlib/struct) grayscale PNG, BMP, TIFF.
+"""Image codecs — pure stdlib/NumPy grayscale PNG, BMP, TIFF (here),
+plus baseline JPEG (jpeg.py) and GIF-LZW (gif.py) — all five formats
+the reference decodes via Jimp (/root/reference/src/image.ts:63-87,
+src/util.ts:60-77), with no imaging library in this environment.
 
-The reference decodes TIFF/PNG/GIF/JPG/BMP via Jimp
-(/root/reference/src/image.ts:63-87, src/util.ts:60-77).  This
-environment has no imaging library, so we implement the three
-lossless formats we synthesize fixtures in; JPEG/GIF decode is a
-clearly-marked stub (the Spark-side plumbing — schema, format column,
-dispatch — is identical for all formats).
-
-All encoders/decoders handle single-channel 8-bit grayscale, the only
-pixel format the OCR pipeline consumes (it grayscales first thing).
+All encoders/decoders produce/consume single-channel 8-bit grayscale,
+the only pixel format the OCR pipeline consumes (it grayscales first
+thing); color inputs are reduced with the 0.299/0.587/0.114 weights.
 """
 
 from __future__ import annotations
@@ -229,7 +226,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------- dispatch
 
-FORMATS = ("png", "bmp", "tiff")
+FORMATS = ("png", "bmp", "tiff", "jpeg", "gif")
 
 _MIME_ALIASES = {
     "image/png": "png", "image/bmp": "bmp", "image/tiff": "tiff",
@@ -251,9 +248,13 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "tiff":
         return encode_tiff(img)
-    raise NotImplementedError(
-        f"no encoder for '{fmt}' in this environment (no imaging libs); "
-        f"supported: {FORMATS}")
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+        return encode_jpeg(img)
+    if fmt == "gif":
+        from .gif import encode_gif
+        return encode_gif(img)
+    raise ValueError(f"unknown image format '{fmt}'; supported: {FORMATS}")
 
 
 def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
@@ -268,6 +269,10 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
             fmt = "bmp"
         elif data[:2] in (b"II", b"MM"):
             fmt = "tiff"
+        elif data[:2] == b"\xff\xd8":
+            fmt = "jpeg"
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            fmt = "gif"
         else:
             raise ValueError("cannot sniff image format")
     if fmt == "png":
@@ -276,12 +281,10 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "tiff":
         return decode_tiff(data)
-    if fmt in ("jpeg", "gif"):
-        # STUB: no JPEG/GIF codec available in this container.  The
-        # Spark plumbing (binary column + format column + dispatch here)
-        # is identical; plugging a real decoder in requires only this
-        # branch.
-        raise NotImplementedError(
-            f"'{fmt}' decode is stubbed: no imaging library in this "
-            "environment. Fixtures use png/bmp/tiff.")
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
+    if fmt == "gif":
+        from .gif import decode_gif
+        return decode_gif(data)
     raise ValueError(f"unknown image format '{fmt}'")

@@ -14,7 +14,12 @@ Tables produced (shape fixed by BASELINE.json input_hint):
 
 Variant axes (seeded, stratified): skew angle {0, ±1.5°, ±4°}; dark
 header band (exercises the non-white-background clean branch);
-salt-and-pepper noise; encode format {png, tiff, bmp}.
+salt-and-pepper noise; encode format — png/tiff/bmp cycle with every
+16th doc jpeg (i%16==5, lossy, q92) or gif (i%16==11).  Corpora built
+with lossy=False (the throughput benches) stay on the lossless cycle
+so round-over-round docs/sec numbers measure the engine, not the
+pure-python JPEG entropy decoder (~0.3 s/image vs ~10 ms lossless —
+a production deployment decodes JPEG natively).
 """
 
 from __future__ import annotations
@@ -140,11 +145,18 @@ def compose_check(spec: CheckSpec, rng: np.random.Generator) -> np.ndarray:
     return img
 
 
-def make_spec(i: int, rng: np.random.Generator) -> CheckSpec:
+def make_spec(i: int, rng: np.random.Generator,
+              lossy: bool = True) -> CheckSpec:
+    if lossy and i % 16 == 5:
+        fmt = "jpeg"
+    elif lossy and i % 16 == 11:
+        fmt = "gif"
+    else:
+        fmt = FORMATS[i % len(FORMATS)]
     return CheckSpec(
         micr_text=make_micr_text(rng),
         skew=SKEWS[i % len(SKEWS)],
-        fmt=FORMATS[i % len(FORMATS)],
+        fmt=fmt,
         dark_header=(i % 7 == 3),
         noise=(i % 3 == 1),
     )
@@ -155,12 +167,13 @@ def make_text_span(rng: np.random.Generator) -> str:
     return " ".join(rng.choice(_WORDS, n))
 
 
-def generate_fixture_rows(n_docs: int, seed: int = 42
+def generate_fixture_rows(n_docs: int, seed: int = 42, lossy: bool = True
                           ) -> tuple[list[dict], list[dict], list[dict]]:
-    return generate_fixture_rows_range(0, n_docs, seed)
+    return generate_fixture_rows_range(0, n_docs, seed, lossy)
 
 
-def generate_fixture_rows_range(start: int, count: int, seed: int = 42
+def generate_fixture_rows_range(start: int, count: int, seed: int = 42,
+                                lossy: bool = True
                                 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Build (documents, media, expected_spans) row dicts for doc
     indices [start, start+count) — each doc is seeded independently, so
@@ -177,11 +190,15 @@ def generate_fixture_rows_range(start: int, count: int, seed: int = 42
         rng = np.random.default_rng(seed * 1_000_003 + i)
         doc_id = f"doc-{i:08d}"
         media_ref = f"img-{i:08d}"
-        spec = make_spec(i, rng)
+        spec = make_spec(i, rng, lossy)
         img = compose_check(spec, rng)
         media.append({
             "media_ref": media_ref,
             "format": spec.fmt,
+            # golden dimensions: written at compose time so decode-path
+            # metadata extraction has an independent oracle
+            "width": img.shape[1],
+            "height": img.shape[0],
             "image": codecs.encode_image(img, spec.fmt),
         })
         n_text = int(rng.integers(1, 6))

@@ -4,7 +4,9 @@ Writes the interleaved input tables (shape per BASELINE.json input_hint)
 plus the golden/intermediate tables used by SQL twins:
 
   documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)
-  media(media_ref, format, image binary)
+  media(media_ref, format, width, height, image binary)
+    — width/height are compose-time goldens for the decode-metadata
+      oracle; the pipeline never reads them
   expected_spans(doc_id, kind, text, media_ref, order)
   micr_cases(case_id, micr_line, routing_number, account_number, check_number)
   contours(doc_id, contour_idx, x, y, w, h, area, area2, size_class)
@@ -36,18 +38,22 @@ SPAN_TYPE = pa.struct([
 ])
 
 
-def _gen_chunk(args: tuple[int, int, int]) -> tuple[list, list, list]:
-    start, count, seed = args
+def _gen_chunk(args: tuple[int, int, int, bool]) -> tuple[list, list, list]:
+    start, count, seed, lossy = args
     from .fixtures import generate_fixture_rows_range
-    return generate_fixture_rows_range(start, count, seed)
+    return generate_fixture_rows_range(start, count, seed, lossy)
 
 
 def materialize_fixtures(out_dir: str, n_docs: int, seed: int = 42,
-                         workers: int | None = None) -> str:
-    """Write all fixture tables under ``out_dir``; cached by manifest."""
+                         workers: int | None = None,
+                         lossy: bool = True) -> str:
+    """Write all fixture tables under ``out_dir``; cached by manifest.
+
+    ``lossy=False`` keeps the corpus on the lossless png/tiff/bmp cycle
+    (used by throughput benches — see fixtures.py docstring)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
-    want = {"n_docs": n_docs, "seed": seed, "version": 7}
+    want = {"n_docs": n_docs, "seed": seed, "version": 8, "lossy": lossy}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:
@@ -59,7 +65,7 @@ def materialize_fixtures(out_dir: str, n_docs: int, seed: int = 42,
     # through ONE task; many small part files give parallel scans
     # (exactly how a 100 TB media table is laid out in practice)
     chunk = min(32, max(1, (n_docs + workers - 1) // workers))
-    tasks = [(i, min(chunk, n_docs - i), seed)
+    tasks = [(i, min(chunk, n_docs - i), seed, lossy)
              for i in range(0, n_docs, chunk)]
     docs: list = []
     expected: list = []
@@ -73,6 +79,10 @@ def materialize_fixtures(out_dir: str, n_docs: int, seed: int = 42,
         pq.write_table(pa.table({
             "media_ref": [r["media_ref"] for r in media_rows],
             "format": [r["format"] for r in media_rows],
+            "width": pa.array([r["width"] for r in media_rows],
+                              type=pa.int32()),
+            "height": pa.array([r["height"] for r in media_rows],
+                               type=pa.int32()),
             "image": pa.array([r["image"] for r in media_rows],
                               type=pa.binary()),
         }), os.path.join(media_dir, f"part-{idx:05d}.parquet"),
@@ -218,7 +228,8 @@ def _write_intermediates(out_dir: str, n_docs: int, seed: int) -> None:
     }), os.path.join(out_dir, "char_scores.parquet"))
 
 
-def fixture_dir(name: str, n_docs: int, seed: int = 42) -> str:
+def fixture_dir(name: str, n_docs: int, seed: int = 42,
+                lossy: bool = True) -> str:
     """Materialize-and-cache a named fixture scale under FIXTURE_ROOT."""
     return materialize_fixtures(
-        os.path.join(FIXTURE_ROOT, name), n_docs, seed)
+        os.path.join(FIXTURE_ROOT, name), n_docs, seed, lossy=lossy)

@@ -1,0 +1,116 @@
+"""JPEG/GIF codec tests (the lossless PNG/BMP/TIFF round trips are
+covered implicitly by every fixture-driven test; these cover the
+round-2 pure-python codecs directly)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from fin_ocr_sdk_spark.sources import codecs
+from fin_ocr_sdk_spark.sources.gif import decode_gif, encode_gif
+from fin_ocr_sdk_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+
+def _check_like(rng) -> np.ndarray:
+    img = np.full((200, 320), 235, np.uint8)
+    img[150:170, 20:300:10] = 10          # glyph-ish bars
+    img[30:60, :] = np.linspace(0, 255, 320, dtype=np.uint8)[None, :]
+    img[80:120, 100:220] = rng.integers(0, 256, (40, 120), dtype=np.uint8)
+    return img
+
+
+def test_gif_round_trip_exact():
+    rng = np.random.default_rng(7)
+    for img in (_check_like(rng),
+                rng.integers(0, 256, (17, 23), dtype=np.uint8),
+                rng.integers(0, 256, (256, 256), dtype=np.uint8),  # forces
+                np.zeros((1, 1), dtype=np.uint8)):  # LZW dict reset ^
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_interlaced_decode():
+    """Decoder must reorder interlaced row passes (GIF89a appendix E)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 19), dtype=np.uint8)
+    data = bytearray(encode_gif(img))
+    # re-encode the pixel data in interlace order and set the flag
+    ih = img.shape[0]
+    rows = (list(range(0, ih, 8)) + list(range(4, ih, 8)) +
+            list(range(2, ih, 4)) + list(range(1, ih, 2)))
+    inter = encode_gif(img[rows])
+    # splice: header+palette from `data` (identical), descriptor flag |= 0x40
+    desc_off = 13 + 256 * 3
+    assert data[desc_off] == 0x2C
+    patched = bytearray(inter)
+    patched[desc_off + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(patched)), img)
+
+
+def test_gif_dispatch_and_sniff():
+    img = np.random.default_rng(1).integers(0, 256, (12, 12), dtype=np.uint8)
+    data = codecs.encode_image(img, "gif")
+    assert np.array_equal(codecs.decode_image(data), img)  # sniffed
+    assert np.array_equal(codecs.decode_image(data, "gif"), img)
+
+
+def test_jpeg_round_trip_close():
+    rng = np.random.default_rng(11)
+    img = _check_like(rng)
+    data = encode_jpeg(img, quality=92)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # sharp-edge ringing bounded; flat paper region essentially exact
+    assert err[150:170].max() <= 16
+    assert err[180:].max() <= 2
+    assert err.mean() < 1.0
+    assert err.max() <= 24
+
+
+def test_jpeg_odd_sizes_and_quality():
+    rng = np.random.default_rng(13)
+    for shape in ((8, 8), (9, 15), (64, 1), (1, 64)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 95))
+        assert out.shape == shape
+    flat = np.full((40, 56), 128, np.uint8)
+    assert np.abs(decode_jpeg(encode_jpeg(flat, 50)).astype(int)
+                  - 128).max() <= 1
+
+
+def test_jpeg_dispatch_and_sniff():
+    img = np.full((24, 24), 200, np.uint8)
+    data = codecs.encode_image(img, "jpg")  # alias
+    assert codecs.decode_image(data).shape == (24, 24)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn handling: re-encode with restart intervals by splicing a
+    DRI segment and restart markers between MCU rows is out of scope for
+    the encoder, so exercise the decoder's restart path synthetically:
+    two single-MCU images whose entropy segments are joined with RST0."""
+    img = np.full((8, 8), 100, np.uint8)
+    base = encode_jpeg(img, 90)
+    # locate SOS payload and EOI
+    sos = base.index(b"\xff\xda")
+    (slen,) = struct.unpack(">H", base[sos + 2:sos + 4])
+    entropy = base[sos + 2 + slen:-2]
+    head = base[:sos]
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart every MCU
+    sof = head.index(b"\xff\xc0")
+    # widen frame to 2 MCUs tall (16x8) so two entropy segments are read
+    head2 = bytearray(head)
+    head2[sof + 5:sof + 7] = struct.pack(">H", 16)
+    patched = (bytes(head2) + dri + base[sos:sos + 2 + slen] +
+               entropy + b"\xff\xd0" + entropy + b"\xff\xd9")
+    out = decode_jpeg(patched)
+    assert out.shape == (16, 8)
+    assert np.abs(out.astype(int) - 100).max() <= 1
+
+
+def test_unknown_format_raises():
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"\x00\x01garbage")
+    with pytest.raises(ValueError):
+        codecs.encode_image(np.zeros((4, 4), np.uint8), "webp")

@@ -722,6 +722,56 @@ def filter_regions(
 
 # ------------------------------------------- overlap-correction kernels
 
+def clear_by_boundary(img: np.ndarray, points: list) -> None:
+    """Zero everything on and inside the closed polygon through
+    `points` [(x, y), ...], in place (src/image.ts:1191-1210 — there a
+    filled drawContours mask ANDed away; here boundary Bresenham lines
+    plus an even-odd scanline fill).  Degenerate inputs (< 3 points)
+    clear only the boundary pixels."""
+    h, w = img.shape
+    n = len(points)
+    if n == 0:
+        return
+    for i in range(n):
+        x0, y0 = points[i]
+        x1, y1 = points[(i + 1) % n]
+        dx, dy = abs(x1 - x0), abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx - dy
+        x, y = x0, y0
+        while True:
+            if 0 <= x < w and 0 <= y < h:
+                img[y, x] = 0
+            if x == x1 and y == y1:
+                break
+            e2 = 2 * err
+            if e2 > -dy:
+                err -= dy
+                x += sx
+            if e2 < dx:
+                err += dx
+                y += sy
+    if n < 3:
+        return
+    ys = [p[1] for p in points]
+    for y in range(max(min(ys), 0), min(max(ys), h - 1) + 1):
+        xs = []
+        for i in range(n):
+            x0, y0 = points[i]
+            x1, y1 = points[(i + 1) % n]
+            if y0 == y1:
+                continue
+            if (y0 <= y < y1) or (y1 <= y < y0):
+                xs.append(x0 + (y - y0) * (x1 - x0) / (y1 - y0))
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            a = max(int(np.ceil(xs[j])), 0)
+            b = min(int(np.floor(xs[j + 1])), w - 1)
+            if b >= a:
+                img[y, a:b + 1] = 0
+
+
 def clear_padding(img: np.ndarray, padding: int) -> None:
     """Zero the `padding`-wide frame in place (src/image.ts:1102-1122)."""
     img[:padding, :] = 0

@@ -140,13 +140,15 @@ def find_micr_line(band_gray: np.ndarray, templates: TemplateSet,
     img = K.gaussian_blur(band_gray, 3)
     img = K.adaptive_threshold_gaussian_inv(img, block_size=19, c=1)
     zero_t, zero_n = templates.zero()
-    li = find_micr_line_info(img, zero_t, zero_n, cfg, count=1)
+    li = find_micr_line_info(img, zero_t, zero_n, cfg, count=1,
+                             templates=templates)
     if li is None:
         return None
     line, _ = li
     if line.overlap and cfg.overlap_correction:
         corrected = perform_overlap_correction(line, cfg)
-        li2 = find_micr_line_info(corrected, zero_t, zero_n, cfg, count=2)
+        li2 = find_micr_line_info(corrected, zero_t, zero_n, cfg, count=2,
+                                  templates=templates)
         if li2 is None:
             return None
         line = li2[0]
@@ -155,19 +157,22 @@ def find_micr_line(band_gray: np.ndarray, templates: TemplateSet,
 
 def perform_overlap_correction(line: Line, cfg: Config) -> np.ndarray:
     """Overlap correction (src/line.ts:582-607): crop the line ROI with
-    padding, then for top-touching contours clear thin-vertical runs and
-    h/v-thin.  The reference additionally walks signature strokes with a
-    curve follower (src/curve.ts, ~480 LoC of pixel heuristics) before
-    these steps; that stage is feature-gated off here (the author notes
-    it never fully worked) — clearPadding + thickness + hvThin handle
-    straight overlap strokes."""
+    padding, then for top-touching contours (1) follow-and-clear the
+    intruding stroke with the curve walker (src/curve.ts via
+    operators/curves.py — handles curved signature strokes), then
+    (2) clearPadding, (3) clear thin-vertical runs and h/v-thin — the
+    reference's exact stage order."""
     from ..functions.geometry import enlarge_rect
+    from ..operators.curves import curves_clear
     pad = cfg.overlap_padding
     h, w = line.image.shape
     rect = enlarge_rect(line.get_bounding_rect(), (w, h), pad=pad)
     x, y, rw, rh = rect
     img = line.image[y:y + rh, x:x + rw].copy()
     regions = K.find_regions(img)
+    for r in regions:
+        if r.rect[1] == 0:
+            curves_clear(img, lambda px, py: py < pad, r.rect)
     K.clear_padding(img, pad)
     for r in regions:
         if r.rect[1] == 0:
@@ -180,9 +185,14 @@ def perform_overlap_correction(line: Line, cfg: Config) -> np.ndarray:
 
 def scan_check(image_bytes: bytes, fmt: str,
                templates: TemplateSet | None = None,
-               cfg: Config = _DEFAULT_CFG) -> ScanResult:
+               cfg: Config = _DEFAULT_CFG,
+               full_page_engine=None) -> ScanResult:
     """Full Check.scan for one image (src/check.ts:88-114), opencv
-    engine only (the tesseract engine is external and default-off)."""
+    engine only (the tesseract engine is external and default-off).
+    ``full_page_engine`` (anything with translate_image(gray) -> str)
+    enables the full-page check-number fallback (src/check.ts:129-177);
+    None — the default, and this environment's reality — keeps the
+    reference's disabled-translator behavior."""
     if templates is None:
         templates = get_default_templates()
     try:
@@ -195,6 +205,10 @@ def scan_check(image_bytes: bytes, fmt: str,
         return ScanResult(ok=False, error="micr line not found")
     tr = translate_line(line, templates, cfg.max_translator_choices)
     info = parse_micr(tr.value)
+    if not info.check_number and full_page_engine is not None:
+        from .translators import search_check_number_if_missing
+        info = search_check_number_if_missing(
+            {"opencv": info}, full_page_engine, gray)["opencv"]
     return ScanResult(ok=True, check_info=info, micr_value=tr.value,
                       score=tr.score, overlap=line.overlap,
                       nchars=len(line.get_chars()),

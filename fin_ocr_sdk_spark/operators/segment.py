@@ -376,7 +376,9 @@ class Line:
         (src/line.ts:371-467); order-dependent — lag() cannot express it."""
         if not chars:
             return chars
-        roots = self.roots
+        # JS-falsy parity (line.ts:375): an unset OR EMPTY roots list
+        # falls back to the argmax-best-char default root
+        roots = self.roots or default_roots(self, chars)
         for c in chars:
             for root in roots:
                 if G.rect_contains(root, c.rect):
@@ -565,6 +567,32 @@ class CharIterator:
         return rect[2] * rect[3] > self.line.min_char_area
 
 
+def default_roots(line: "Line", chars: list[Char]) -> list:
+    """Default type-1 roots when a line has none (src/line.ts:327-352
+    getDefaultRoots): among chars within the configured max char box,
+    classify each against ALL templates and seed from the single
+    best-scoring char (first-in-order wins ties, as in the reference's
+    strict `>` comparison).  Oversized chars are skipped; if none
+    qualify, the first char is the root (reference initializes
+    bestChar = chars[0])."""
+    if not chars:
+        raise ValueError("empty character array")
+    from ..plans.scan import get_default_templates
+    from .classify import ncc_scores_batch, stack_char_crops
+    templates = get_default_templates()
+    kept = [c for c in chars
+            if c.rect[3] <= line.cfg.max_char_height
+            and c.rect[2] <= line.cfg.max_char_width]
+    best_char = chars[0]
+    if kept:
+        scores = ncc_scores_batch(stack_char_crops(line, kept), templates)
+        per_char = scores.max(axis=1)
+        best_idx = int(per_char.argmax())
+        if per_char[best_idx] > 0:
+            best_char = kept[best_idx]
+    return [best_char.rect]
+
+
 # -------------------------------------------------------- seed search
 
 def find_micr_line_info(
@@ -574,10 +602,17 @@ def find_micr_line_info(
     cfg: Config,
     stop_score: int = 90,
     count: int = 1,
+    templates=None,
 ) -> tuple[Line, Cont] | None:
     """Seed search + line construction (src/check.ts:297-346):
     contours (maxWidth 0.9W) → sort y-desc → early-exit argmax NCC vs
-    the '0' glyph → size-relative refilter → Line."""
+    the '0' glyph → size-relative refilter → Line.
+
+    Robustness extension: when NO contour scores against the '0' glyph
+    (a degraded/absent zero — the reference gives up here,
+    src/check.ts:322-325) and a full template set is provided, re-seed
+    from the best-scoring contour across ALL glyph templates, applying
+    getDefaultRoots' idea (src/line.ts:327-352) at the seed stage."""
     h, w = band.shape
     regions = K.find_regions(band)
     regions = K.filter_regions(regions, max_width=w * 0.9)
@@ -594,6 +629,18 @@ def find_micr_line_info(
             best = c
             if best_score >= stop_score:
                 break
+    if best is None and templates is not None:
+        from .classify import ncc_scores_batch
+        for c in conts:
+            crop = band[c.rect[1]:c.rect[1] + c.rect[3],
+                        c.rect[0]:c.rect[0] + c.rect[2]]
+            crop36 = K.resize_area(crop, (36, 36)).astype(np.float64)
+            score = int(ncc_scores_batch(crop36[None], templates).max())
+            if score > best_score:
+                best_score = score
+                best = c
+                if best_score >= stop_score:
+                    break
     if best is None:
         return None
     kept = [c for c in conts

@@ -110,4 +110,63 @@ def translate_all(engines: dict[str, object], line: Line,
             for name, eng in engines.items()}
 
 
+class TesseractFullPageEngine:
+    """Full-page OCR engine for the check-number fallback (reference:
+    src/tesseractTranslator.ts full-page mode, enabled alongside the
+    tesseract line engine).  Stubbed behind the same import gate; any
+    object with ``translate_image(gray) -> str`` satisfies the protocol
+    (tests inject a fake)."""
+
+    name = "tesseract-full-page"
+
+    def __init__(self):
+        try:
+            import pytesseract  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "full-page tesseract engine requires pytesseract + a "
+                "tesseract binary; not available in this environment"
+            ) from e
+
+    def translate_image(self, gray) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+
+def build_full_page_engine(cfg: Config | None = None):
+    """The reference constructs tesseractFullPage only when the
+    tesseract translator is enabled (src/ocr.ts); absent binary →
+    None, and the fallback silently no-ops (src/check.ts:148-152)."""
+    cfg = cfg or Config()
+    if "tesseract" not in cfg.translators:
+        return None
+    try:
+        return TesseractFullPageEngine()
+    except ImportError:
+        return None
+
+
+def search_check_number_if_missing(results: dict, full_page_engine,
+                                   full_image) -> dict:
+    """Full-page check-number fallback
+    (src/check.ts:129-177 searchForCheckNumberIfNotFoundOnMicrLine):
+    if NO translator found a check number, OCR the whole page, find the
+    line after "Check No", parse a number from it, and fill it into
+    every translator's result.  Returns the (possibly updated) result
+    map; CheckInfo is immutable here so updated entries are replaced."""
+    import dataclasses
+
+    from ..functions.micr import check_number_from_full_page
+    for info in results.values():
+        if info.check_number:
+            return results  # found on the MICR line — nothing to do
+    if not results or full_page_engine is None or full_image is None:
+        return results
+    text = full_page_engine.translate_image(full_image)
+    check_num = check_number_from_full_page(text)
+    if not check_num:
+        return results
+    return {name: dataclasses.replace(info, check_number=check_num)
+            for name, info in results.items()}
+
+
 Registry = Callable  # documentation alias

@@ -97,6 +97,69 @@ def test_translate_all_fan_out():
     assert results["opencv"].value == expect
 
 
+class _FakeFullPage:
+    """Protocol double for TesseractFullPageEngine (translate_image)."""
+
+    def __init__(self, text):
+        self.text = text
+        self.calls = 0
+
+    def translate_image(self, gray):
+        self.calls += 1
+        return self.text
+
+
+def test_full_page_check_number_fallback():
+    """src/check.ts:129-177: a MICR line without a check-number field
+    routes through full-page OCR when the engine is present; absent
+    engine keeps today's behavior; found-on-MICR lines are untouched."""
+    from fin_ocr_sdk_spark.plans.scan import scan_check
+    from fin_ocr_sdk_spark.plans.translators import (
+        build_full_page_engine, search_check_number_if_missing)
+    from fin_ocr_sdk_spark.sources import codecs
+    from fin_ocr_sdk_spark.sources.fixtures import CheckSpec, compose_check
+
+    rng = np.random.default_rng(3)
+    spec = CheckSpec(micr_text="T031100649T 4400000084U", skew=0.0,
+                     fmt="png", dark_header=False, noise=False)
+    data = codecs.encode_image(compose_check(spec, rng), "png")
+    tmpl = get_default_templates()
+
+    base = scan_check(data, "png", tmpl)
+    assert base.ok and base.check_info.check_number == ""
+
+    fake = _FakeFullPage("HEADER\nblah Check No blah\nDate 1234 x\nrest")
+    res = scan_check(data, "png", tmpl, full_page_engine=fake)
+    assert res.check_info.check_number == "1234"
+    assert fake.calls == 1
+
+    # "Check No" absent in the page text -> unchanged
+    res2 = scan_check(data, "png", tmpl,
+                      full_page_engine=_FakeFullPage("no match here"))
+    assert res2.check_info.check_number == ""
+
+    # check number already on the MICR line -> engine never invoked
+    spec2 = CheckSpec(micr_text="U2154U T031100649T 4400000084U",
+                      skew=0.0, fmt="png", dark_header=False, noise=False)
+    data2 = codecs.encode_image(compose_check(spec2, rng), "png")
+    fake2 = _FakeFullPage("Check No\nDate 9999")
+    res3 = scan_check(data2, "png", tmpl, full_page_engine=fake2)
+    assert res3.check_info.check_number == "2154"
+    assert fake2.calls == 0
+
+    # registry: full-page engine needs tesseract enabled AND importable
+    assert build_full_page_engine(Config(translators="opencv")) is None
+    assert build_full_page_engine(
+        Config(translators="tesseract,opencv")) is None  # no binary here
+    # map semantics: fills every container lacking a number
+    from fin_ocr_sdk_spark.functions.micr import CheckInfo
+    infos = {"a": CheckInfo("1", "2", "", "x"),
+             "b": CheckInfo("1", "2", "", "x")}
+    out = search_check_number_if_missing(
+        infos, _FakeFullPage("Check No\nDate 77"), object())
+    assert {i.check_number for i in out.values()} == {"77"}
+
+
 def test_supervised_correction_learns_template():
     line, expect = _make_line()
     engines = build_engines(Config(translators="opencv"))

@@ -15,9 +15,10 @@ is synthesized deterministically at small scale — seed 42).
   (exact dedup, n-gram Jaccard near-dup, token/quality/langid text
   analysis, brute-force cosine ANN) — first-class at 100 TB scale.
 
-Non-SQL-expressible ops (MICR state-machine parse, MinHash/SimHash with
-engine-specific hashes, binary media metadata) are queries()-only →
-the driver records a rows-only check.
+Every query has a DuckDB oracle twin: the dedup family (minhash,
+simhash, LSH buckets) uses portable polynomial-hash arithmetic computed
+identically in SQL, and media metadata is checked against compose-time
+golden width/height columns — no rows-only checks remain.
 """
 
 from __future__ import annotations
@@ -399,11 +400,64 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ratio >= 0.1).alias("pred_english"))
 
 
+# Portable hashing shared by the dedup family: polynomial fold over
+# code points mod a prime — computable identically in DuckDB SQL (see
+# the oracle twins), vectorized in NumPy here.  All constants are
+# literals so both engines agree bit-for-bit.
+_HASH_P = 1_000_000_007
+_SIMHASH_MULTS = (31, 131, 257, 8191)   # 4 x 16 bits = 64 simhash bits
+_MINHASH_N = 16
+_MINHASH_A = tuple(52 + 11 * i for i in range(_MINHASH_N))
+_MINHASH_B = tuple(3 + 17 * i for i in range(_MINHASH_N))
+_MINHASH_BANDS = 4                      # 4 bands x 4 rows
+_MINHASH_BUCKET_CAP = 50   # skew guard: a giant near-dup cluster's band
+_JACCARD_DF_CAP = 64       # skew guard: stopword-like hot shingles
+
+
+def _poly_hashes(strs: list, mults) -> "object":
+    """(len(strs), len(mults)) int64 matrix of h_m(s) = fold over code
+    points of (acc*m + cp) % P — one vectorized Horner pass over char
+    positions, no per-string python loop in the hot path."""
+    import numpy as np
+    n = len(strs)
+    m = np.asarray(mults, dtype=np.int64)
+    h = np.zeros((n, len(m)), dtype=np.int64)
+    if n == 0:
+        return h
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return h
+    codes = np.frombuffer("".join(strs).encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    mat = np.zeros((n, int(lens.max())), dtype=np.int64)
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = codes
+    for j in range(mat.shape[1]):
+        live = lens > j
+        h[live] = (h[live] * m + mat[live, j, None]) % _HASH_P
+    return h
+
+
+def _word_shingles(text: str) -> set:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: word-3-gram overlap counts between document
     pairs sharing at least 3 n-grams (the n-gram Jaccard join, bucketed
-    by shared n-gram so the self-join never goes quadratic)."""
+    by shared n-gram so the self-join never goes quadratic).  Shingles
+    appearing in more than _JACCARD_DF_CAP documents are dropped before
+    pairing — a hot stopword-like shingle in k docs would otherwise
+    emit k² join rows (the classic skew blowup at corpus scale)."""
     grams = _shingles(spark, sf_dir)
+    kept = (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _JACCARD_DF_CAP)
+            .select("gram"))
+    grams = grams.join(kept, "gram", "semi")
     a = grams.alias("a")
     b = grams.alias("b")
     return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
@@ -414,24 +468,74 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("shared_ngrams") >= 3))
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures: all 16 minhashes are
+    computed per document in ONE Arrow pass (tokenize → shingle → base
+    hash → 16 affine transforms → min), so there is no shingle explode
+    or groupBy shuffle at all — minhash state is per-document.  Docs
+    with fewer than 3 tokens (no shingles) emit nothing, matching the
+    SQL twin's empty GROUP BY."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType([
+        d.schema["doc_id"],  # id type follows the source table
+        StructField("band", IntegerType()),
+        StructField("sig", LongType()),
+    ])
+    a_vec = np.array(_MINHASH_A, dtype=np.int64)
+    b_vec = np.array(_MINHASH_B, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            keep, grams_per_doc = [], []
+            for i, text in enumerate(pdf["text"]):
+                g = _word_shingles(text)
+                if g:
+                    keep.append(i)
+                    grams_per_doc.append(sorted(g))
+            if not keep:
+                continue
+            ids = pdf["doc_id"].to_numpy()[keep]
+            counts = np.fromiter((len(g) for g in grams_per_doc),
+                                 dtype=np.int64, count=len(grams_per_doc))
+            flat = [s for g in grams_per_doc for s in g]
+            base = _poly_hashes(flat, (31,))[:, 0]          # (G,)
+            affine = (base[:, None] * a_vec + b_vec) % _HASH_P  # (G, 16)
+            mhs = np.full((len(ids), _MINHASH_N), _HASH_P, dtype=np.int64)
+            np.minimum.at(mhs, np.repeat(np.arange(len(ids)), counts),
+                          affine)
+            sig = np.zeros((len(ids), _MINHASH_BANDS), dtype=np.int64)
+            for bi in range(_MINHASH_BANDS):
+                s = np.zeros(len(ids), dtype=np.int64)
+                for j in range(4):
+                    s = (s * 31 + mhs[:, bi * 4 + j]) % _HASH_P
+                sig[:, bi] = s
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, _MINHASH_BANDS),
+                "band": np.tile(np.arange(_MINHASH_BANDS, dtype=np.int32),
+                                len(ids)),
+                "sig": sig.reshape(-1),
+            })
+
+    return d.mapInPandas(compute, schema)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only oracle: hash functions are
-    engine-specific).  shingle → 16 minhashes (xxhash64 with salt) →
-    4 bands of 4 → band-bucket join → candidate pairs."""
-    # explode once, hash each shingle under 16 salts, min-agg per doc:
-    # one shuffle instead of 16 re-evaluations of the shingle expression
-    exploded = _shingles(spark, sf_dir).withColumnRenamed("gram", "shingle")
-    mins = exploded.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
-        for i in range(16)])
-    bands = mins.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     F.xxhash64(*[F.col(f"mh{bi * 4 + j}")
-                                  for j in range(4)]).alias("sig"))
-            for bi in range(4)])).alias("b"))
-    bands = bands.select("doc_id", "b.band", "b.sig")
+    """MinHash+LSH near-dup: 16 portable minhashes → 4 bands of 4 →
+    band-bucket join → candidate pairs.  Band buckets larger than
+    _MINHASH_BUCKET_CAP docs are dropped before pairing (a single giant
+    near-dup cluster would otherwise square inside its bucket).  The
+    hash chain is portable polynomial arithmetic, so a DuckDB twin
+    verifies the exact pair set."""
+    bands = _minhash_bands(spark, sf_dir)
+    small = (bands.groupBy("band", "sig")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") <= _MINHASH_BUCKET_CAP)
+             .select("band", "sig"))
+    bands = bands.join(small, ["band", "sig"], "semi")
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
@@ -441,23 +545,46 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only oracle)."""
-    d = _tokenized(spark, sf_dir)
-    hashes = F.transform(F.array_distinct(F.col("t")),
-                         lambda t: F.xxhash64(t))
-    bit_votes = F.array(*[
-        F.aggregate(hashes, F.lit(0),
-                    lambda acc, hv: acc + F.when(
-                        hv.bitwiseAND(F.lit(1 << i) if i < 63
-                                      else F.lit(-(1 << 63))) != 0,
-                        1).otherwise(-1))
-        for i in range(16)])  # 16 bits is plenty for a fingerprint twin
-    sim = F.aggregate(
-        F.zip_with(bit_votes,
-                   F.array(*[F.lit(1 << i) for i in range(16)]),
-                   lambda v, w: F.when(v > 0, w).otherwise(F.lit(0))),
-        F.lit(0), lambda acc, x: acc + x)
-    return d.select("doc_id", sim.alias("simhash16"))
+    """Full 64-bit SimHash per document in one vectorized NumPy pass
+    per Arrow batch (4 portable 16-bit polynomial hashes per distinct
+    token → 64 bit votes → sign bits packed into one BIGINT, bit 63 via
+    two's complement).  Replaces the round-1 16-bit Catalyst
+    higher-order-lambda chain — interpreted per token × bit, the exact
+    hot-path pattern this repo bans — and is oracle-checked in DuckDB
+    via the identical hash arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType([
+        d.schema["doc_id"],  # id type follows the source table
+        StructField("simhash64", LongType()),
+    ])
+    sel = np.array([i // 16 for i in range(64)])
+    shift = np.array([i % 16 for i in range(64)], dtype=np.int64)
+    weights = np.array([1 << i for i in range(63)], dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            tok_lists = [sorted(set(t.strip().lower().split()))
+                         for t in pdf["text"]]
+            counts = np.fromiter((len(t) for t in tok_lists),
+                                 dtype=np.int64, count=n)
+            flat = [t for toks in tok_lists for t in toks]
+            hs = _poly_hashes(flat, _SIMHASH_MULTS)          # (T, 4)
+            signs = (((hs[:, sel] >> shift) & 1) * 2 - 1)    # (T, 64) ±1
+            votes = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(votes, np.repeat(np.arange(n), counts), signs)
+            vals = ((votes[:, :63] > 0).astype(np.int64) @ weights)
+            vals = vals + np.where(votes[:, 63] > 0,
+                                   np.int64(-(1 << 63)), np.int64(0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash64": vals})
+
+    return d.mapInPandas(compute, schema)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,35 +650,45 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ANN: random-hyperplane LSH bucketing (rows-only
-    oracle — sign projections use seeded deterministic pseudo-planes
-    derived from dimension index)."""
+    """Scale path for ANN: random-hyperplane LSH bucketing.  The
+    pseudo-hyperplane is ±1 per (dim, plane) from a deterministic
+    integer mix; components are quantized to integer millionths with
+    the repo's floor(x*1e6+0.5) rule so the signed projection is EXACT
+    integer arithmetic — bit-identical in the DuckDB twin regardless of
+    floating summation order.  One int64 matmul per Arrow batch
+    (replaces the round-1 interpreted per-element lambda chain)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("bucket", LongType()),
+    ])
+    pows = (1 << np.arange(8)).astype(np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            w = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+            d = w.shape[1]
+            i = np.arange(d)[:, None]
+            b = np.arange(8)[None, :]
+            s = np.where(((i * 2654435761 + b * 40503) % 97) < 48, 1, -1
+                         ).astype(np.int64)
+            proj = w @ s                                   # (N, 8) exact
+            bucket = ((proj > 0).astype(np.int64) * pows).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "bucket": bucket})
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # deterministic pseudo-hyperplane: sign of sum(v[i] * s(i,b)) where
-    # s(i,b) = +1/-1 from a parity of a cheap integer mix
-    bits = []
-    for b in range(8):
-        proj = F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.transform(F.sequence(F.lit(0),
-                                       F.size("embedding") - 1),
-                            lambda i: F.when(
-                                ((i * 2654435761 + b * 40503) % 97) < 48,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda v, s: v.cast("double") * s),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for x in bits[1:]:
-        bucket = bucket + x
-    return e.select("vec_id", bucket.alias("bucket"))
+    return e.mapInPandas(compute, schema)
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata over opaque binary media —
-    decode dimensions/format inside a vectorized UDF (rows-only oracle;
-    DuckDB lacks the binary parsing)."""
+    dimensions DECODED from the bytes inside a vectorized UDF, then
+    verified against the fixture's compose-time golden width/height
+    columns by the DuckDB twin (which never parses the binary)."""
     import pandas as pd
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
@@ -578,7 +715,9 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["n_bytes"].append(len(img))
             yield pd.DataFrame(rows)
 
-    media = _fxdf(spark, "media")
+    # prune the golden width/height columns: the UDF must derive
+    # dimensions from the bytes alone (that is what the oracle checks)
+    media = _fxdf(spark, "media").select("media_ref", "format", "image")
     return media.mapInPandas(meta, schema)
 
 
@@ -618,6 +757,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "media_metadata": q_media_metadata,
     }
+
+
+# ---- generated portable-hash oracle twins (identical constants and
+# ---- arithmetic to the pandas-UDF implementations above)
+
+_POLY_SQL = ("list_reduce(list_prepend(0::BIGINT, list_transform("
+             "string_split({col}, ''), c -> ascii(c)::BIGINT)), "
+             "(acc, c) -> (acc * {m} + c) % " + str(_HASH_P) + ")")
+
+
+def _simhash_oracle() -> str:
+    hash_exprs = ",\n                 ".join(
+        _POLY_SQL.format(col="tok", m=m) + f" AS h{k}"
+        for k, m in enumerate(_SIMHASH_MULTS))
+    terms = " +\n               ".join(
+        f"(CASE WHEN sum(CASE WHEN (h{i // 16} >> {i % 16}) & 1 = 1"
+        " THEN 1 ELSE -1 END) > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if i == 63
+           else f"(1::BIGINT << {i})")
+        + " ELSE 0 END)"
+        for i in range(64))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+                 {hash_exprs}
+              FROM tok)
+        SELECT doc_id,
+               CAST({terms} AS BIGINT) AS simhash64
+        FROM h GROUP BY doc_id
+    """
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n                 ".join(
+        f"min((hg * {a} + {b}) % {_HASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)))
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"(((((mh{4 * bi} * 31 + mh{4 * bi + 1}) % {_HASH_P}) * 31"
+        f" + mh{4 * bi + 2}) % {_HASH_P} * 31 + mh{4 * bi + 3})"
+        f" % {_HASH_P}) AS sig FROM mins"
+        for bi in range(_MINHASH_BANDS))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+          FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i)
+          WHERE len(t) >= 3),
+        h AS (SELECT doc_id, {_POLY_SQL.format(col="gram", m=31)} AS hg
+              FROM g),
+        mins AS (SELECT doc_id,
+                 {mins}
+              FROM h GROUP BY doc_id),
+        bands AS (
+          {band_selects}),
+        small AS (SELECT band, sig FROM bands
+                  GROUP BY band, sig
+                  HAVING count(*) <= {_MINHASH_BUCKET_CAP})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+        JOIN small s ON a.band = s.band AND a.sig = s.sig
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    projs = ",\n                 ".join(
+        "sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT) * "
+        f"(CASE WHEN ((i - 1) * 2654435761 + {b * 40503}) % 97 < 48"
+        f" THEN 1 ELSE -1 END)) AS p{b}"
+        for b in range(8))
+    bucket = " + ".join(
+        f"(CASE WHEN p{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(8))
+    return f"""
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding) AS v
+          FROM embeddings),
+        p AS (SELECT vec_id,
+                 {projs}
+              FROM x GROUP BY vec_id)
+        SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM p
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -811,7 +1042,7 @@ def oracle_sql() -> dict[str, str]:
                      4) >= 0.1 AS pred_english
             FROM documents
         """,
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id,
                      regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -822,10 +1053,15 @@ def oracle_sql() -> dict[str, str]:
                            unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                    FOR i IN range(1, greatest(len(t) - 2, 0)
                                                      + 1)]) AS gram
-                    FROM toks) u)
+                    FROM toks) u),
+            kept AS (
+              SELECT gram FROM grams GROUP BY gram
+              HAVING count(*) <= {_JACCARD_DF_CAP}),
+            fgrams AS (
+              SELECT g.doc_id, g.gram FROM grams g JOIN kept USING (gram))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS shared_ngrams
-            FROM grams a JOIN grams b
+            FROM fgrams a JOIN fgrams b
               ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 3
@@ -855,8 +1091,12 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) t
             WHERE rk <= 5
         """,
-        # rows-only (no oracle): micr state machine runs only in the
-        # engine; hash-based dedup uses engine-specific hash functions;
-        # media metadata needs binary parsing DuckDB lacks.
-        # "minhash_dedup", "simhash", "ann_lsh_buckets", "media_metadata"
+        "simhash": _simhash_oracle(),
+        "minhash_dedup": _minhash_oracle(),
+        "ann_lsh_buckets": _ann_lsh_oracle(),
+        "media_metadata": f"""
+            SELECT media_ref, format, width, height,
+                   CAST(octet_length(image) AS INTEGER) AS n_bytes
+            FROM read_parquet('{fx("media")}/*.parquet')
+        """,
     }

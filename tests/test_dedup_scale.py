@@ -1,0 +1,119 @@
+"""Skew-safety tests for the dedup family: a hot shingle planted in
+every document (stopword-like) and a giant near-dup cluster must NOT
+blow up the candidate-pair join quadratically — plus positive checks
+that genuine near-dups still surface, and parity checks for the
+portable-hash implementations vs their oracle arithmetic."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as m
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from fin_ocr_sdk_spark.session import get_spark
+    s = get_spark("pytest-dedup", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _write_docs(path: str, texts: list[str]) -> str:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": [f"d{i:04d}" for i in range(len(texts))],
+        "text": texts,
+    }), os.path.join(path, "documents.parquet"))
+    return path
+
+
+def test_jaccard_hot_shingle_capped(spark, tmp_path_factory):
+    """One shingle in all 100 docs would emit 4950 join rows; the
+    document-frequency cap drops it, leaving only the one genuine pair
+    that shares 3 rare shingles."""
+    hot = "the quick fox"
+    texts = [f"{hot} filler{i} x{i} y{i} z{i} w{i}" for i in range(98)]
+    texts += [f"{hot} alpha beta gamma delta unique{i}" for i in (0, 1)]
+    d = _write_docs(str(tmp_path_factory.mktemp("jac")), texts)
+    rows = m.q_ngram_jaccard_pairs(spark, d).collect()
+    # the genuine pair shares 'quick fox alpha', 'fox alpha beta',
+    # 'alpha beta gamma', 'beta gamma delta' (the hot 'the quick fox'
+    # is capped away; 'gamma delta uniqueN' differs) -> 4 shared
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b) == ("d0098", "d0099")
+    assert rows[0].shared_ngrams == 4
+
+
+def test_minhash_giant_cluster_capped(spark, tmp_path_factory):
+    """60 identical docs (> bucket cap 50) must produce no pairs from
+    their saturated band buckets, while a separate 3-doc cluster still
+    pairs."""
+    big = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    small = "completely different tiny cluster of near duplicate text here"
+    texts = [big] * 60 + [small] * 3
+    d = _write_docs(str(tmp_path_factory.mktemp("mh")), texts)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in m.q_minhash_dedup(spark, d).collect()}
+    assert pairs == {("d0060", "d0061"), ("d0060", "d0062"),
+                     ("d0061", "d0062")}
+
+
+def test_simhash_matches_reference_arithmetic(spark, tmp_path_factory):
+    """The pandas-UDF 64-bit simhash equals a direct scalar-python
+    evaluation of the documented formula (and near-dup texts land near
+    each other in Hamming space)."""
+    P = m._HASH_P
+
+    def poly(s, mult):
+        h = 0
+        for ch in s:
+            h = (h * mult + ord(ch)) % P
+        return h
+
+    def simhash_ref(text):
+        votes = [0] * 64
+        for t in set(text.strip().lower().split()):
+            hs = [poly(t, mu) for mu in m._SIMHASH_MULTS]
+            for i in range(64):
+                votes[i] += 1 if (hs[i // 16] >> (i % 16)) & 1 else -1
+        val = sum(1 << i for i in range(63) if votes[i] > 0)
+        return val - (1 << 63) if votes[63] > 0 else val
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "entirely unrelated content about spark partitions"]
+    d = _write_docs(str(tmp_path_factory.mktemp("sh")), texts)
+    got = {r.doc_id: r.simhash64 for r in m.q_simhash(spark, d).collect()}
+    want = {f"d{i:04d}": simhash_ref(t) for i, t in enumerate(texts)}
+    assert got == want
+    ham = bin((got["d0000"] ^ got["d0001"]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((got["d0000"] ^ got["d0002"]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+
+
+def test_ann_lsh_buckets_deterministic(spark, tmp_path_factory):
+    """Integer-quantized hyperplane LSH: same vector → same bucket, and
+    the bucket equals the documented integer formula."""
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs[1] = vecs[0]
+    d = str(tmp_path_factory.mktemp("lsh"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(d, "embeddings.parquet"))
+    got = {r.vec_id: r.bucket
+           for r in m.q_ann_lsh_buckets(spark, d).collect()}
+    assert got[0] == got[1]
+    w = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    i = np.arange(16)[:, None]
+    b = np.arange(8)[None, :]
+    s = np.where(((i * 2654435761 + b * 40503) % 97) < 48, 1, -1)
+    buckets = (((w @ s) > 0) * (1 << np.arange(8))).sum(axis=1)
+    assert got == {k: int(v) for k, v in enumerate(buckets)}

@@ -27,6 +27,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -649,8 +650,8 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("sim", 4).alias("cosine")))
 
 
-def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ANN: random-hyperplane LSH bucketing.  The
+def _lsh_buckets_df(e: DataFrame) -> DataFrame:
+    """(vec_id, bucket) random-hyperplane LSH bucketing.  The
     pseudo-hyperplane is ±1 per (dim, plane) from a deterministic
     integer mix; components are quantized to integer millionths with
     the repo's floor(x*1e6+0.5) rule so the signed projection is EXACT
@@ -661,13 +662,15 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
     schema = StructType([
-        StructField("vec_id", LongType()),
+        e.schema["vec_id"],
         StructField("bucket", LongType()),
     ])
     pows = (1 << np.arange(8)).astype(np.int64)
 
     def compute(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             w = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
             d = w.shape[1]
@@ -680,8 +683,52 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "bucket": bucket})
 
+    return e.select("vec_id", "embedding").mapInPandas(compute, schema)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: the LSH bucket id per vector (see
+    _lsh_buckets_df)."""
+    return _lsh_buckets_df(_t(spark, sf_dir, "embeddings"))
+
+
+_NEAR_DUP_COSINE = 0.2
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup — the LSH SCALE PATH end-to-end:
+    candidate pairs come only from shared LSH buckets (n² collapses to
+    Σ per-bucket n_b²), then each candidate is confirmed with the exact
+    cosine ≥ threshold.  The DuckDB twin replicates bucketing (exact
+    integer arithmetic) and the cosine confirm, so the pair set is
+    verified, including the recall loss LSH accepts by design."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return e.mapInPandas(compute, schema)
+    b = _lsh_buckets_df(e)
+    cand = (b.alias("a").join(b.alias("b"),
+                              (F.col("a.bucket") == F.col("b.bucket"))
+                              & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b")))
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    @F.pandas_udf(DoubleType())
+    def cos(u: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.array(list(u), dtype=np.float64)
+        c = np.array(list(v), dtype=np.float64)
+        num = (a * c).sum(axis=1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
+
+    return (pairs.withColumn("c", cos("emb_a", "emb_b"))
+            .filter(F.col("c") >= _NEAR_DUP_COSINE)
+            .select("vec_a", "vec_b", F.round("c", 4).alias("cosine")))
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
     }
 
@@ -830,7 +878,9 @@ def _minhash_oracle() -> str:
     """
 
 
-def _ann_lsh_oracle() -> str:
+def _lsh_bucket_ctes() -> str:
+    """Shared bucket CTEs (x, p, bk) — exact integer arithmetic
+    mirroring _lsh_buckets_df."""
     projs = ",\n                 ".join(
         "sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT) * "
         f"(CASE WHEN ((i - 1) * 2654435761 + {b * 40503}) % 97 < 48"
@@ -840,14 +890,41 @@ def _ann_lsh_oracle() -> str:
         f"(CASE WHEN p{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(8))
     return f"""
-        WITH x AS (
+        x AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                  unnest(embedding) AS v
           FROM embeddings),
         p AS (SELECT vec_id,
                  {projs}
-              FROM x GROUP BY vec_id)
-        SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM p
+              FROM x GROUP BY vec_id),
+        bk AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM p)
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+        WITH {_lsh_bucket_ctes()}
+        SELECT vec_id, bucket FROM bk
+    """
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+        WITH {_lsh_bucket_ctes()},
+        cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bk a JOIN bk b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(list_cosine_similarity(
+                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
+                 AS cosine
+        FROM cand
+        JOIN embeddings ea ON vec_a = ea.vec_id
+        JOIN embeddings eb ON vec_b = eb.vec_id
+        WHERE list_cosine_similarity(
+                  ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+              >= {_NEAR_DUP_COSINE}
     """
 
 
@@ -1094,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "ann_lsh_buckets": _ann_lsh_oracle(),
+        "embedding_near_dup": _near_dup_oracle(),
         "media_metadata": f"""
             SELECT media_ref, format, width, height,
                    CAST(octet_length(image) AS INTEGER) AS n_bytes

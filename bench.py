@@ -65,7 +65,7 @@ def main() -> None:
     media = spark.read.parquet(os.path.join(bench_dir, "media.parquet"))
     out_rows = extract_spans(docs, media).count()  # warm-up: full pass
     dt = None
-    for _ in range(2):  # best-of-2 damps scheduler noise
+    for _ in range(3):  # best-of-3: host timing noise exceeds ±15%
         t0 = time.time()
         out_rows = extract_spans(docs, media).count()
         d = time.time() - t0

@@ -43,6 +43,75 @@ def grayscale(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(img[..., :3].astype(np.float64) @ w), 0, 255).astype(np.uint8)
 
 
+def rgb(img: np.ndarray) -> np.ndarray:
+    """gray -> 3-channel RGB (src/image.ts:249-256, COLOR_GRAY2RGB) —
+    the reference's debug-rendering conversion."""
+    assert img.ndim == 2
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def arc_length(points: np.ndarray, closed: bool = True) -> float:
+    """Perimeter of a polyline (cv.arcLength analog)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) < 2:
+        return 0.0
+    seg = np.diff(pts, axis=0)
+    total = float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+    if closed:
+        total += float(np.hypot(*(pts[0] - pts[-1])))
+    return total
+
+
+def approx_poly_dp(points: np.ndarray, epsilon: float,
+                   closed: bool = True) -> np.ndarray:
+    """Ramer–Douglas–Peucker simplification (cv.approxPolyDP analog).
+    For closed curves the chain is split at the two mutually farthest
+    points and each half simplified independently."""
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) < 3:
+        return pts.copy()
+
+    def rdp(p: np.ndarray) -> np.ndarray:
+        if len(p) < 3:
+            return p
+        a, b = p[0], p[-1]
+        ab = b - a
+        nrm = np.hypot(*ab)
+        if nrm == 0:
+            d = np.hypot(p[:, 0] - a[0], p[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (p[:, 1] - a[1])
+                       - ab[1] * (p[:, 0] - a[0])) / nrm
+        i = int(d.argmax())
+        if d[i] <= epsilon:
+            return np.vstack([a, b])
+        left = rdp(p[:i + 1])
+        return np.vstack([left[:-1], rdp(p[i:])])
+
+    if not closed:
+        return rdp(pts)
+    # split at the two farthest points of the closed chain
+    i0 = 0
+    d0 = np.hypot(pts[:, 0] - pts[0, 0], pts[:, 1] - pts[0, 1])
+    i1 = int(d0.argmax())
+    if i1 == 0:
+        return pts[:1].copy()
+    lo, hi = sorted((i0, i1))
+    half1 = rdp(pts[lo:hi + 1])
+    half2 = rdp(np.vstack([pts[hi:], pts[:lo + 1]]))
+    return np.vstack([half1[:-1], half2[:-1]])
+
+
+def get_num_sides(points: np.ndarray) -> int:
+    """Contour.getNumSides (src/contour.ts:117-128): approxPolyDP with
+    epsilon = 1% of the closed arc length — then the reference counts
+    `approxCurve.data.length`, the raw BYTE buffer of a CV_32SC2 mat,
+    i.e. 8 bytes per vertex.  That 8x factor is kept as a documented
+    quirk (numSides is never consumed on the reference's main path)."""
+    approx = approx_poly_dp(points, 0.01 * arc_length(points, True), True)
+    return 8 * len(approx)
+
+
 def bitwise_not(img: np.ndarray) -> np.ndarray:
     return (255 - img.astype(np.int16)).astype(np.uint8)
 

@@ -261,3 +261,32 @@ def test_pad_border():
     out = K.pad_border(img, 1, 1, 2, 2, value=3)
     assert out.shape == (4, 6)
     assert out[0, 0] == 3 and out[1, 2] == 7
+
+
+def test_rgb_kernel():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = K.rgb(img)
+    assert out.shape == (3, 4, 3)
+    assert (out[..., 0] == img).all() and (out[..., 2] == img).all()
+    assert np.array_equal(K.grayscale(out), img)  # round trip
+
+
+def test_approx_poly_dp_square():
+    # a dense square outline simplifies to its 4 corners
+    pts = []
+    for i in range(20):
+        pts.append((i, 0))
+    for i in range(20):
+        pts.append((20, i))
+    for i in range(20):
+        pts.append((20 - i, 20))
+    for i in range(20):
+        pts.append((0, 20 - i))
+    pts = np.array(pts, dtype=float)
+    approx = K.approx_poly_dp(pts, 0.01 * K.arc_length(pts, True), True)
+    assert len(approx) == 4
+    assert K.get_num_sides(pts) == 32  # 4 vertices x 8 (the .data quirk)
+    assert K.arc_length(pts, True) == pytest.approx(80.0)
+    # open polyline: collinear chain collapses to endpoints
+    line = np.array([(0, 0), (1, 0.01), (2, 0), (3, -0.01), (4, 0)])
+    assert len(K.approx_poly_dp(line, 0.1, closed=False)) == 2

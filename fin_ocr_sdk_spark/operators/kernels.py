@@ -656,13 +656,32 @@ class Region:
 def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected component labeling of set (non-zero) pixels.
 
-    Row-run union-find: O(runs).  Returns (labels, count) where labels
-    is int32 with 0 = background, 1..count = components.
+    Row-run union-find, O(runs) — ALL runs are extracted in one
+    vectorized diff over the row-padded flat mask (no per-row python),
+    matched against the previous row's runs with a two-pointer sweep,
+    and painted back via a cumsum delta.  Returns (labels, count) where
+    labels is int32 with 0 = background, 1..count = components.
     """
     h, w = binary.shape
-    set_mask = binary > 0
     labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]  # parent[i] for union-find; 0 unused
+    # pad a False column after each row so runs cannot cross rows
+    padded = np.zeros((h, w + 1), dtype=np.int8)
+    padded[:, :w] = binary > 0
+    flat = padded.ravel()
+    d = np.diff(flat)
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if flat[0]:
+        starts = np.concatenate([[0], starts])
+    n = len(starts)
+    if n == 0:
+        return labels, 0
+    stride = w + 1
+    rows = starts // stride
+    x0s = starts - rows * stride
+    x1s = ends - rows * stride  # exclusive
+
+    parent = np.arange(n + 1, dtype=np.int64)  # union-find over run ids
 
     def find(i: int) -> int:
         while parent[i] != i:
@@ -670,52 +689,57 @@ def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
             i = parent[i]
         return i
 
-    def union(i: int, j: int) -> None:
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
-
-    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label), x1 exclusive
+    run_lab = np.zeros(n, dtype=np.int64)
     next_label = 0
-    for y in range(h):
-        row = set_mask[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.nonzero(d == 1)[0] + 1)
-        ends = list(np.nonzero(d == -1)[0] + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):
+    idx = 0
+    prev_lo = prev_hi = 0
+    prev_row = -2
+    rows_l = rows.tolist()
+    x0_l = x0s.tolist()
+    x1_l = x1s.tolist()
+    while idx < n:
+        y = rows_l[idx]
+        hi = idx
+        while hi < n and rows_l[hi] == y:
+            hi += 1
+        plo, phi = (prev_lo, prev_hi) if y - 1 == prev_row else (0, 0)
+        p = plo
+        for k in range(idx, hi):
+            a0 = x0_l[k]
+            a1 = x1_l[k]
+            # 8-connectivity: prev run [b0,b1) touches [a0,a1) iff
+            # b0 <= a1 and b1 >= a0 (x1 exclusive: diagonal contact)
+            while p < phi and x1_l[p] < a0:
+                p += 1
             lab = 0
-            # 8-connectivity: runs [x0,x1) and [px0,px1) touch (incl.
-            # diagonally) iff px0 <= x1 and px1 >= x0
-            for (px0, px1, plab) in prev_runs:
-                if px0 <= x1 and px1 >= x0:
-                    if lab == 0:
-                        lab = plab
-                    else:
-                        union(lab, plab)
+            q = p
+            while q < phi and x0_l[q] <= a1:
+                plab = find(run_lab[q])
+                if lab == 0:
+                    lab = plab
+                elif plab != lab:
+                    ra, rb = (lab, plab) if lab < plab else (plab, lab)
+                    parent[rb] = ra
+                    lab = ra
+                q += 1
             if lab == 0:
                 next_label += 1
-                parent.append(next_label)
                 lab = next_label
-            labels[y, x0:x1] = lab
-            cur_runs.append((x0, x1, lab))
-        prev_runs = cur_runs
-    if next_label == 0:
-        return labels, 0
-    # flatten union-find into a relabeling 1..count
-    roots = np.array([find(i) for i in range(next_label + 1)], dtype=np.int32)
-    uniq = np.unique(roots[1:])
-    remap = np.zeros(next_label + 1, dtype=np.int32)
+            run_lab[k] = lab
+        prev_lo, prev_hi, prev_row = idx, hi, y
+        idx = hi
+    # resolve run labels to roots, then to dense 1..count — label order
+    # follows first (row-major) appearance, as before
+    roots = np.array([find(int(lb)) for lb in run_lab], dtype=np.int64)
+    uniq = np.unique(roots)
+    remap = np.zeros(int(uniq.max()) + 1, dtype=np.int32)
     remap[uniq] = np.arange(1, len(uniq) + 1)
     final = remap[roots]
-    labels = final[labels]
+    # paint via cumsum deltas (runs are disjoint in the flat space)
+    delta = np.zeros(h * stride + 1, dtype=np.int32)
+    np.add.at(delta, starts, final)
+    np.add.at(delta, ends, -final)
+    labels = np.cumsum(delta[:-1]).reshape(h, stride)[:, :w].astype(np.int32)
     return labels, len(uniq)
 
 

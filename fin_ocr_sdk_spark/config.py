@@ -89,3 +89,13 @@ class Config:
             elif isinstance(cur, float):
                 val = float(raw)
             setattr(self, name, val)
+
+
+def debug_requested(categories, category: str) -> bool:
+    """Util.debug (src/util.ts:53-58): a request's debug list enables a
+    category when it contains "*" or the category itself; a missing /
+    empty list disables everything.  As a Spark predicate this is
+    F.array_contains(debug, "*") | F.array_contains(debug, category)."""
+    if not categories:
+        return False
+    return "*" in categories or category in categories

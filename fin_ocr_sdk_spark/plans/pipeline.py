@@ -244,6 +244,10 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
                                  "path string").repartition(nparts)
 
 
+_RELATION_NODES = ("LogicalRelation", "DataSourceV2Relation",
+                   "DataSourceV2ScanRelation")
+
+
 def _is_bare_file_scan(df: DataFrame) -> bool:
     """True iff the DataFrame is an unmodified file-source relation (no
     Filter/Project/Join above the scan) — in that case the file list
@@ -251,9 +255,28 @@ def _is_bare_file_scan(df: DataFrame) -> bool:
     direct-read path needs no corrective semi-join."""
     try:
         root = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-        return root in ("LogicalRelation", "DataSourceV2Relation",
-                        "DataSourceV2ScanRelation")
+        return root in _RELATION_NODES
     except Exception:  # noqa: BLE001 — private API drift: stay safe
+        return False
+
+
+def _is_filter_over_file_scan(df: DataFrame) -> bool:
+    """True iff the plan is only Filters/aliases over a file relation.
+    Direct part-file reads are valid ONLY then: any Project / computed
+    column (e.g. base64-decoded media) means the rows in the files no
+    longer match the DataFrame's columns, so the scan kernel must not
+    read the files itself."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name in _RELATION_NODES:
+                return True
+            if name in ("Filter", "SubqueryAlias"):
+                node = node.child()
+            else:
+                return False
+    except Exception:  # noqa: BLE001 — arrow path is always correct
         return False
 
 
@@ -284,6 +307,8 @@ def _choose_media_strategy(media: DataFrame) -> str:
         return "arrow"
     if _is_bare_file_scan(media):
         return "direct"
+    if not _is_filter_over_file_scan(media):
+        return "arrow"  # derived columns: file bytes != DataFrame rows
     total = _metadata_row_count(files)
     if total:
         surviving = media.count()  # column-pruned count, runs only when
@@ -320,9 +345,12 @@ def extract_spans(documents: DataFrame, media: DataFrame,
         strategy = _choose_media_strategy(media)
     elif repartition_scan:
         strategy = "arrow"
+    elif _is_bare_file_scan(media):
+        strategy = "direct"
+    elif _is_filter_over_file_scan(media):
+        strategy = "direct+semi"
     else:
-        strategy = ("direct" if _is_bare_file_scan(media)
-                    else "direct+semi")
+        strategy = "arrow"  # direct reads impossible on derived columns
     files_df = None if strategy == "arrow" else _media_files_df(media)
     if files_df is not None:
         per_media = files_df.mapInPandas(

@@ -96,24 +96,43 @@ def main() -> None:
     settle = int(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "20"))
     t_start = time.strftime("%Y-%m-%d %H:%M:%S")
 
-    def best_level(master: str) -> dict:
-        # two fresh JVMs per level, best wall: between-JVM variance on
-        # this shared host dominates within-JVM variance
-        r1 = run_level(master, bench_dir)
-        time.sleep(settle)
-        r2 = run_level(master, bench_dir)
-        return r1 if r1["sec"] <= r2["sec"] else r2
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
-    r_small = best_level(f"local[{n_small}]")
-    time.sleep(settle)  # let the host cool between levels (noise damping)
-    r_big = best_level(f"local[{n_big}]")
+    # `reps` fresh JVMs per level, INTERLEAVED (N, 4N, N, 4N, ...) and
+    # best wall per level: this shared host shows minute-scale
+    # interference windows worth ±20%, so (a) between-JVM variance
+    # dominates within-JVM variance, and (b) measuring one level's
+    # repetitions back-to-back would expose the two levels to different
+    # host-load periods — interleaving decorrelates the drift.
+    r_small = None
+    r_big = None
+    for i in range(reps):
+        if i:
+            time.sleep(settle)
+        r = run_level(f"local[{n_small}]", bench_dir)
+        if r_small is None or r["sec"] < r_small["sec"]:
+            r_small = r
+        time.sleep(settle)
+        r = run_level(f"local[{n_big}]", bench_dir)
+        if r_big is None or r["sec"] < r_big["sec"]:
+            r_big = r
     tp_small = n_docs / r_small["sec"]
     tp_big = n_docs / r_big["sec"]
     eff = tp_big / (4 * tp_small)
+
+    def best_raw(nproc: int) -> float:
+        # best-of-2, same policy as the Spark levels: single-run host
+        # interference (observed -20% outliers) would otherwise skew
+        # the control in either direction
+        a = run_raw(nproc, bench_dir)
+        time.sleep(settle)
+        b = run_raw(nproc, bench_dir)
+        return max(a, b)
+
     time.sleep(settle)
-    raw_small = run_raw(n_small, bench_dir)
+    raw_small = best_raw(n_small)
     time.sleep(settle)
-    raw_big = run_raw(n_big, bench_dir)
+    raw_big = best_raw(n_big)
     raw_eff = raw_big / (4 * raw_small)
 
     md = f"""# BENCH/BASELINE — measured performance of this engine
@@ -129,7 +148,12 @@ instruction, plus a kernel-level control at the same two levels.
 Measured {t_start} on a {os.cpu_count()}-core single-socket host,
 synthetic check corpus seed 42, {n_docs} interleaved documents (one
 check image each), output verified span-for-span against the golden
-table (100% span equality, zero micr:error rows).
+table (100% span equality, zero micr:error rows).  Protocol: per level,
+best wall time of {reps} fresh JVMs (warm-up on a subset of media part
+files inside each), with the two levels' repetitions INTERLEAVED so
+host-load drift hits both equally; kernel control best-of-2 — this
+shared host shows minute-scale interference windows worth ±20%, and a
+single bad window must not define either level.
 
 ## End-to-end Spark job (extract_spans: read → scan → join → renumber)
 
@@ -158,21 +182,20 @@ table (100% span equality, zero micr:error rows).
   scaling on a real cluster tracks this number (each executor adds its
   own memory bandwidth and python workers).
 - The Spark-local harness adds fixed per-job costs (driver stages,
-  broadcast build, final renumber shuffle of ~8 small rows/doc, a
-  ~0.25 s/task python-runner handshake) that do not grow with the
-  corpus; at this corpus size they cost ~{max(0.0, (1 - eff) * 100):.0f}%
-  at 4N.  On a real multi-executor cluster at 10^12-document scale these
-  amortize to noise; a single shared-memory host cannot emulate the
-  added memory bandwidth of added executors.
+  broadcast build, final renumber shuffle of ~8 small rows/doc) that do
+  not grow with the corpus; at this corpus size they cost
+  ~{max(0.0, (1 - eff) * 100):.0f}% at 4N.  On a real multi-executor
+  cluster at 10^12-document scale these amortize to noise; a single
+  shared-memory host cannot emulate the added memory bandwidth of added
+  executors.
 - Throughput at 32 cores (full host): ~{tp_big * 32 / n_big:.0f} docs/s
-  projected from per-core rate, ~583 docs/s measured for the bare
-  kernel loop at 32 processes.
+  projected from the 4N per-core rate.
 
-Single-image cost ~48 ms single-core: decode, downscaled skew estimate
+Single-image cost ~35 ms single-core: decode, downscaled skew estimate
 with full-res angle refinement, 3-shear band-fused cubic rotation,
-fixed-point separable blur/adaptive-threshold, run-based component
-labeling, per-line segmentation, batched-NCC classification, MICR
-grammar.
+fixed-point separable blur/adaptive-threshold, vectorized run-based
+component labeling, per-line segmentation, batched-NCC classification,
+MICR grammar.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -107,3 +107,13 @@ def test_checkinfo_is_frozen_dataclass():
     info = CheckInfo("1", "2", "3", "m")
     with pytest.raises(Exception):
         info.routing_number = "x"  # type: ignore[misc]
+
+
+def test_debug_category_predicate():
+    """Util.debug (src/util.ts:53-58): '*' wildcard or exact category."""
+    from fin_ocr_sdk_spark.config import debug_requested
+    assert debug_requested(None, "images") is False
+    assert debug_requested([], "images") is False
+    assert debug_requested(["*"], "anything") is True
+    assert debug_requested(["images", "timing"], "timing") is True
+    assert debug_requested(["images"], "timing") is False

@@ -98,6 +98,69 @@ def test_heavily_filtered_media_same_result_both_paths(spark, smoke_dir):
     assert (auto["kind"] == "micr:line").sum() == 2
 
 
+def test_base64_media_source_end_to_end(spark, smoke_dir, tmp_path):
+    """Media delivered as data-URL strings (the reference's base64
+    request buffers, src/image.ts:89 / check.ts:198): Catalyst-side
+    decode, auto-routed through the arrow path (derived columns make
+    direct part-file reads invalid), span output identical."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from fin_ocr_sdk_spark.plans.pipeline import _choose_media_strategy
+    from fin_ocr_sdk_spark.sources.base64_source import decode_base64_media
+
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    raw = pd.read_parquet(os.path.join(smoke_dir, "media.parquet"))
+    b64 = spark.createDataFrame(pd.DataFrame({
+        "media_ref": raw["media_ref"],
+        "image_b64": [
+            f"data:image/{fmt};base64," + base64.b64encode(img).decode()
+            for fmt, img in zip(raw["format"], raw["image"])],
+    }))
+    media = decode_base64_media(b64)
+    got = media.select("media_ref", "format", "image").toPandas()
+    got = got.sort_values("media_ref").reset_index(drop=True)
+    assert (got["format"] == raw.sort_values("media_ref")
+            .reset_index(drop=True)["format"]).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(
+        got["image"], raw.sort_values("media_ref")
+        .reset_index(drop=True)["image"]))
+
+    out = (extract_spans(docs, media).toPandas()
+           .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    exp = (pd.read_parquet(os.path.join(smoke_dir, "expected_spans.parquet"))
+           .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    out["order"] = out["order"].astype("int32")
+    exp["order"] = exp["order"].astype("int32")
+    pd.testing.assert_frame_equal(out[cols], exp[cols])
+
+    # a parquet-backed but column-derived media table must also refuse
+    # direct reads (the part files hold b64 text, not binary images)
+    b64_pq = str(tmp_path / "b64_media.parquet")
+    b64.write.mode("overwrite").parquet(b64_pq)
+    derived = decode_base64_media(spark.read.parquet(b64_pq))
+    assert _choose_media_strategy(derived) == "arrow"
+    kept = derived.filter(F.col("media_ref") >= "img-00000000")
+    assert _choose_media_strategy(kept) == "arrow"
+
+
+def test_decode_payload_forms():
+    import base64
+
+    import numpy as np
+
+    from fin_ocr_sdk_spark.sources import codecs
+    img = np.full((9, 11), 77, np.uint8)
+    data = codecs.encode_png(img)
+    assert codecs.decode_payload(data) == data
+    assert codecs.decode_payload(base64.b64encode(data).decode()) == data
+    url = "data:image/png;base64," + base64.b64encode(data).decode()
+    assert codecs.decode_payload(url) == data
+    assert (codecs.decode_image(url) == img).all()  # str accepted + sniffed
+
+
 def test_preprocess_only(spark, smoke_dir):
     docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
     media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))

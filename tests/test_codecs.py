@@ -114,3 +114,20 @@ def test_unknown_format_raises():
         codecs.decode_image(b"\x00\x01garbage")
     with pytest.raises(ValueError):
         codecs.encode_image(np.zeros((4, 4), np.uint8), "webp")
+
+
+def test_truncated_streams_never_hang():
+    """Every prefix of a valid JPEG/GIF either decodes (zero-filled
+    tail) or raises — no hangs, no uncaught index errors outside
+    ValueError/struct.error."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    j = encode_jpeg(img, 90)
+    g = encode_gif(img)
+    for data, dec in ((j, decode_jpeg), (g, decode_gif)):
+        for cut in range(10, len(data), max(1, len(data) // 40)):
+            try:
+                out = dec(data[:cut])
+                assert out.dtype == np.uint8
+            except (ValueError, struct.error, IndexError):
+                pass

@@ -41,6 +41,19 @@ def bench_docs_for(sf: float) -> int:
     return max(128, int(25600 * sf))
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this host is a VM whose
+    hypervisor steals time in ±20-35% windows; reporting steal% makes a
+    slow run self-explaining."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:
+        return (0, 0)
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
@@ -59,6 +72,7 @@ def main() -> None:
     from fin_ocr_sdk_spark.plans.pipeline import extract_spans
 
     queries: dict[str, float] = {}
+    steal0, total0 = _cpu_times()
 
     # -- flagship: MICR extraction throughput --------------------------
     docs = spark.read.parquet(os.path.join(bench_dir, "documents.parquet"))
@@ -85,6 +99,8 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
+    steal1, total1 = _cpu_times()
+    steal_pct = (100.0 * (steal1 - steal0) / max(1, total1 - total0))
     result = {
         "metric": "micr_extraction_docs_per_sec",
         "value": round(docs_per_sec, 2),
@@ -95,6 +111,7 @@ def main() -> None:
         "out_rows": out_rows,
         "total_sec": total,
         "master": master,
+        "host_steal_pct": round(steal_pct, 1),
     }
     spark.stop()
     print(json.dumps(result))

@@ -338,10 +338,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("doc_id", F.explode(grams).alias("gram"))
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via hash-groupBy: keep min doc_id per text, report
-    group size."""
+    """Exact dedup via hash-groupBy: keep min doc_id per sha256(text),
+    report group size.  The group key is the 32-byte digest, NOT the
+    text itself: at 100 TB the groupBy shuffle would otherwise move the
+    whole corpus across the network, while digests shuffle ~0.03% of
+    those bytes (collision risk 2^-128 — below hardware error rates).
+    DuckDB computes the identical sha256, so the twin stays exact."""
     d = _t(spark, sf_dir, "documents")
-    return (d.groupBy("text")
+    return (d.groupBy(F.sha2("text", 256).alias("h"))
             .agg(F.min("doc_id").alias("keep_doc_id"),
                  F.count(F.lit(1)).alias("n_dups"))
             .filter(F.col("n_dups") >= 1)
@@ -650,19 +654,25 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("sim", 4).alias("cosine")))
 
 
-def _lsh_buckets_df(e: DataFrame) -> DataFrame:
-    """(vec_id, bucket) random-hyperplane LSH bucketing.  The
+def _lsh_bands_df(e: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vec_id, band, bucket) banded random-hyperplane LSH.  The
     pseudo-hyperplane is ±1 per (dim, plane) from a deterministic
     integer mix; components are quantized to integer millionths with
     the repo's floor(x*1e6+0.5) rule so the signed projection is EXACT
     integer arithmetic — bit-identical in the DuckDB twin regardless of
     floating summation order.  One int64 matmul per Arrow batch
-    (replaces the round-1 interpreted per-element lambda chain)."""
+    (replaces the round-1 interpreted per-element lambda chain).
+    Planes are grouped 8-per-band: two vectors are candidates when ANY
+    band bucket matches, so more planes tighten each bucket (smaller
+    n_b² blow-up) while banding preserves recall."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
+    assert n_planes % 8 == 0
+    n_bands = n_planes // 8
     schema = StructType([
         e.schema["vec_id"],
+        StructField("band", LongType()),
         StructField("bucket", LongType()),
     ])
     pows = (1 << np.arange(8)).astype(np.int64)
@@ -675,15 +685,27 @@ def _lsh_buckets_df(e: DataFrame) -> DataFrame:
             w = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
             d = w.shape[1]
             i = np.arange(d)[:, None]
-            b = np.arange(8)[None, :]
+            b = np.arange(n_planes)[None, :]
             s = np.where(((i * 2654435761 + b * 40503) % 97) < 48, 1, -1
                          ).astype(np.int64)
-            proj = w @ s                                   # (N, 8) exact
-            bucket = ((proj > 0).astype(np.int64) * pows).sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "bucket": bucket})
+            proj = w @ s                             # (N, planes) exact
+            bits = (proj > 0).astype(np.int64)
+            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy()
+            out = {"vec_id": np.repeat(ids, n_bands),
+                   "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                   "bucket": (bits.reshape(n, n_bands, 8)
+                              * pows).sum(axis=2).reshape(-1)}
+            yield pd.DataFrame(out)
 
     return e.select("vec_id", "embedding").mapInPandas(compute, schema)
+
+
+def _lsh_buckets_df(e: DataFrame) -> DataFrame:
+    """(vec_id, bucket) single-band 8-plane LSH (the ANN query's view;
+    band 0 of _lsh_bands_df, same plane formula)."""
+    return (_lsh_bands_df(e, 8)
+            .filter(F.col("band") == 0).select("vec_id", "bucket"))
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,43 +714,62 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_buckets_df(_t(spark, sf_dir, "embeddings"))
 
 
-_NEAR_DUP_COSINE = 0.2
+_NEAR_DUP_COSINE_E4 = 2000   # cosine ≥ 0.2 as integer ten-thousandths
+_NEAR_DUP_PLANES = 16        # 2 bands × 8 planes
+_EMB_BUCKET_CAP = 50         # same rationale as _MINHASH_BUCKET_CAP
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup — the LSH SCALE PATH end-to-end:
-    candidate pairs come only from shared LSH buckets (n² collapses to
-    Σ per-bucket n_b²), then each candidate is confirmed with the exact
-    cosine ≥ threshold.  The DuckDB twin replicates bucketing (exact
-    integer arithmetic) and the cosine confirm, so the pair set is
-    verified, including the recall loss LSH accepts by design."""
+    candidate pairs come only from shared (band, bucket) LSH cells
+    (n² collapses to Σ per-bucket n_b²), then each candidate is
+    confirmed with the exact cosine ≥ threshold.  Two scale guards:
+    16 planes in 2 banded groups (256× smaller buckets than 8 planes,
+    recall preserved by OR-ing bands) and a per-cell cap of
+    _EMB_BUCKET_CAP — a single giant near-dup cluster would otherwise
+    square inside its bucket (same hazard the minhash query caps).
+    The cosine is computed on integer-millionth-quantized vectors
+    (int64 dot products are exact at 64 dims — every partial sum
+    < 2^53) and emitted as floor(c*10000+0.5) integer ten-thousandths,
+    so the DuckDB twin is bit-identical: no bare round() on doubles
+    (CLAUDE.md rule), no summation-order flakes."""
     import numpy as np
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import LongType
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = _lsh_buckets_df(e)
+    b = _lsh_bands_df(e, _NEAR_DUP_PLANES)
+    small = (b.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") <= _EMB_BUCKET_CAP)
+             .select("band", "bucket"))
+    b = b.join(small, ["band", "bucket"], "semi")
     cand = (b.alias("a").join(b.alias("b"),
-                              (F.col("a.bucket") == F.col("b.bucket"))
+                              (F.col("a.band") == F.col("b.band"))
+                              & (F.col("a.bucket") == F.col("b.bucket"))
                               & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b")))
+                    F.col("b.vec_id").alias("vec_b")).distinct())
     ea = e.select(F.col("vec_id").alias("vec_a"),
                   F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"),
                   F.col("embedding").alias("emb_b"))
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
 
-    @F.pandas_udf(DoubleType())
-    def cos(u: pd.Series, v: pd.Series) -> pd.Series:
-        a = np.array(list(u), dtype=np.float64)
-        c = np.array(list(v), dtype=np.float64)
-        num = (a * c).sum(axis=1)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
-        return pd.Series(num / den)
+    @F.pandas_udf(LongType())
+    def cos_e4(u: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.floor(np.array(list(u), dtype=np.float64)
+                     * 1_000_000 + 0.5).astype(np.int64)
+        c = np.floor(np.array(list(v), dtype=np.float64)
+                     * 1_000_000 + 0.5).astype(np.int64)
+        num = (a * c).sum(axis=1).astype(np.float64)     # exact < 2^53
+        den = (np.sqrt((a * a).sum(axis=1).astype(np.float64))
+               * np.sqrt((c * c).sum(axis=1).astype(np.float64)))
+        return pd.Series(np.floor(num / den * 10000 + 0.5)
+                         .astype(np.int64))
 
-    return (pairs.withColumn("c", cos("emb_a", "emb_b"))
-            .filter(F.col("c") >= _NEAR_DUP_COSINE)
-            .select("vec_a", "vec_b", F.round("c", 4).alias("cosine")))
+    return (pairs.withColumn("cosine_e4", cos_e4("emb_a", "emb_b"))
+            .filter(F.col("cosine_e4") >= _NEAR_DUP_COSINE_E4)
+            .select("vec_a", "vec_b", "cosine_e4"))
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,22 +950,61 @@ def _ann_lsh_oracle() -> str:
 
 
 def _near_dup_oracle() -> str:
+    """Twin of q_embedding_near_dup: 16-plane 2-band LSH with the
+    _EMB_BUCKET_CAP guard, then the exact integer-quantized cosine —
+    int64 dot products are < 2^53 so list_dot_product over the
+    quantized DOUBLE lists is exact regardless of summation order,
+    and floor(c*10000+0.5) matches the Spark UDF bit-for-bit."""
+    projs = ",\n                 ".join(
+        "sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT) * "
+        f"(CASE WHEN ((i - 1) * 2654435761 + {b * 40503}) % 97 < 48"
+        f" THEN 1 ELSE -1 END)) AS p{b}"
+        for b in range(_NEAR_DUP_PLANES))
+    band_rows = "\n          UNION ALL\n".join(
+        f"          SELECT vec_id, CAST({k} AS BIGINT) AS band, CAST("
+        + " + ".join(f"(CASE WHEN p{k * 8 + j} > 0 THEN {1 << j} ELSE 0"
+                     f" END)" for j in range(8))
+        + " AS BIGINT) AS bucket FROM p"
+        for k in range(_NEAR_DUP_PLANES // 8))
     return f"""
-        WITH {_lsh_bucket_ctes()},
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding) AS v
+          FROM embeddings),
+        p AS (SELECT vec_id,
+                 {projs}
+              FROM x GROUP BY vec_id),
+        bands AS (
+{band_rows}),
+        small AS (SELECT band, bucket FROM bands
+                  GROUP BY band, bucket
+                  HAVING count(*) <= {_EMB_BUCKET_CAP}),
+        capped AS (SELECT bands.* FROM bands
+                   JOIN small USING (band, bucket)),
         cand AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM bk a JOIN bk b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b,
-               round(list_cosine_similarity(
-                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4)
-                 AS cosine
-        FROM cand
-        JOIN embeddings ea ON vec_a = ea.vec_id
-        JOIN embeddings eb ON vec_b = eb.vec_id
-        WHERE list_cosine_similarity(
-                  ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
-              >= {_NEAR_DUP_COSINE}
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+        qv AS (
+          SELECT vec_id,
+                 [CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT)
+                  FOR v IN embedding] AS w
+          FROM embeddings),
+        scored AS (
+          SELECT vec_a, vec_b,
+                 CAST(floor(
+                   list_dot_product(wa.w::DOUBLE[], wb.w::DOUBLE[])
+                   / (sqrt(list_dot_product(wa.w::DOUBLE[],
+                                            wa.w::DOUBLE[]))
+                      * sqrt(list_dot_product(wb.w::DOUBLE[],
+                                              wb.w::DOUBLE[])))
+                   * 10000 + 0.5) AS BIGINT) AS cosine_e4
+          FROM cand
+          JOIN qv wa ON vec_a = wa.vec_id
+          JOIN qv wb ON vec_b = wb.vec_id)
+        SELECT vec_a, vec_b, cosine_e4 FROM scored
+        WHERE cosine_e4 >= {_NEAR_DUP_COSINE_E4}
     """
 
 
@@ -1082,7 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
-            FROM documents GROUP BY text HAVING count(*) >= 1
+            FROM documents GROUP BY sha256(text) HAVING count(*) >= 1
         """,
         "token_count": """
             SELECT doc_id,

@@ -264,7 +264,9 @@ class Curve:
             p = self.edge1.points[i]
             d = p.get_degree_delta()
             steps += 1
-            if d is None:
+            # JS-falsy parity (curve.ts:203 'if (!d) continue'): an
+            # exact 0.0 delta is skipped too, not just undefined
+            if not d:
                 continue
             if best_delta is None or d < best_delta:
                 best_p, best_delta, best_steps = p, d, steps - 1

@@ -376,9 +376,11 @@ class Line:
         (src/line.ts:371-467); order-dependent — lag() cannot express it."""
         if not chars:
             return chars
-        # JS-falsy parity (line.ts:375): an unset OR EMPTY roots list
-        # falls back to the argmax-best-char default root
-        roots = self.roots or default_roots(self, chars)
+        # JS parity (line.ts:375 'this.roots || getDefaultRoots'): only
+        # an UNSET roots list falls back — an empty array is truthy in
+        # JS, so [] would NOT fall back there and must not here either
+        roots = (self.roots if self.roots is not None
+                 else default_roots(self, chars))
         for c in chars:
             for root in roots:
                 if G.rect_contains(root, c.rect):

@@ -303,16 +303,25 @@ def decode_image(data: "bytes | str", fmt: str | None = None) -> np.ndarray:
             fmt = "gif"
         else:
             raise ValueError("cannot sniff image format")
-    if fmt == "png":
-        return decode_png(data)
-    if fmt == "bmp":
-        return decode_bmp(data)
-    if fmt == "tiff":
-        return decode_tiff(data)
-    if fmt == "jpeg":
-        from .jpeg import decode_jpeg
-        return decode_jpeg(data)
-    if fmt == "gif":
-        from .gif import decode_gif
-        return decode_gif(data)
+    try:
+        if fmt == "png":
+            return decode_png(data)
+        if fmt == "bmp":
+            return decode_bmp(data)
+        if fmt == "tiff":
+            return decode_tiff(data)
+        if fmt == "jpeg":
+            from .jpeg import decode_jpeg
+            return decode_jpeg(data)
+        if fmt == "gif":
+            from .gif import decode_gif
+            return decode_gif(data)
+    except ValueError:
+        raise
+    except Exception as e:
+        # Truncated/corrupt streams surface as IndexError/struct.error/
+        # zlib.error from the raw decoders.  One bad image in a media
+        # table must become a micr:error row, not a failed Spark task,
+        # so decode_image's failure contract is ValueError only.
+        raise ValueError(f"corrupt {fmt} stream: {type(e).__name__}: {e}")
     raise ValueError(f"unknown image format '{fmt}'")

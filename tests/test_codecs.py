@@ -131,3 +131,18 @@ def test_truncated_streams_never_hang():
                 assert out.dtype == np.uint8
             except (ValueError, struct.error, IndexError):
                 pass
+
+
+def test_decode_image_failure_contract_is_valueerror_only():
+    """decode_image normalizes raw-decoder IndexError/struct.error to
+    ValueError so one corrupt image becomes a micr:error row, never a
+    failed Spark task (pipeline failure contract)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    for data, fmt in ((encode_jpeg(img, 90), "jpeg"),
+                      (encode_gif(img), "gif")):
+        for cut in range(4, len(data), max(1, len(data) // 25)):
+            try:
+                codecs.decode_image(data[:cut], fmt)
+            except ValueError:
+                pass   # the ONLY permitted failure type

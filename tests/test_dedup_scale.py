@@ -117,3 +117,55 @@ def test_ann_lsh_buckets_deterministic(spark, tmp_path_factory):
     s = np.where(((i * 2654435761 + b * 40503) % 97) < 48, 1, -1)
     buckets = (((w @ s) > 0) * (1 << np.arange(8))).sum(axis=1)
     assert got == {k: int(v) for k, v in enumerate(buckets)}
+
+
+def _write_vecs(path: str, vecs: np.ndarray) -> str:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(path, "embeddings.parquet"))
+    return path
+
+
+def test_embedding_giant_cluster_capped(spark, tmp_path_factory):
+    """One giant cluster of identical vectors (> _EMB_BUCKET_CAP) lands
+    in one (band, bucket) cell per band; the cap must drop those cells
+    before pairing, so candidate pairs stay bounded — while a separate
+    small cluster of near-identical vectors still pairs."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16).astype(np.float32)
+    other = rng.normal(size=16).astype(np.float32)
+    n_big = m._EMB_BUCKET_CAP + 10
+    vecs = np.vstack([np.tile(base, (n_big, 1)),
+                      np.tile(other, (3, 1))
+                      + rng.normal(scale=1e-4, size=(3, 16))
+                      .astype(np.float32)])
+    d = _write_vecs(str(tmp_path_factory.mktemp("embcap")), vecs)
+    pairs = {(r.vec_a, r.vec_b)
+             for r in m.q_embedding_near_dup(spark, d).collect()}
+    small_ids = {n_big, n_big + 1, n_big + 2}
+    # the 60-vector cluster would contribute C(60,2)=1770 pairs; the
+    # cap erases all of them (its cells exceed the cap in BOTH bands)
+    assert pairs == {(a, b) for a in small_ids for b in small_ids if a < b}
+
+
+def test_embedding_near_dup_banding_recall(spark, tmp_path_factory):
+    """Two near-identical vectors must be candidates if ANY band
+    agrees, and the confirmed cosine_e4 must equal the documented
+    integer formula."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=16).astype(np.float32)
+    vecs = np.vstack([a, a + rng.normal(scale=1e-5, size=16)
+                      .astype(np.float32),
+                      rng.normal(size=(5, 16)).astype(np.float32)])
+    d = _write_vecs(str(tmp_path_factory.mktemp("embrec")), vecs)
+    rows = {(r.vec_a, r.vec_b): r.cosine_e4
+            for r in m.q_embedding_near_dup(spark, d).collect()}
+    assert (0, 1) in rows
+    w = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    num = float((w[0] * w[1]).sum())
+    den = (np.sqrt(float((w[0] * w[0]).sum()))
+           * np.sqrt(float((w[1] * w[1]).sum())))
+    assert rows[(0, 1)] == int(np.floor(num / den * 10000 + 0.5))

@@ -88,32 +88,42 @@ def make_lineage_kernel(out_dir: str, run_id: str, templates=None,
             for path in pdf["path"]:
                 t0 = time.time()
                 local = path.replace("file:", "")
-                table = papq.read_table(local, use_threads=False)
                 out = {k: [] for k in ("media_ref", "sub_order", "kind",
                                        "text")}
                 h = hashlib.sha256()
                 n_docs = 0
-                for ref, fmt, image in zip(
-                        table.column("media_ref").to_pylist(),
-                        table.column("format").to_pylist(),
-                        table.column("image").to_pylist()):
-                    res = scan_check(image, fmt, tmpl)
-                    n_docs += 1
-                    if res.ok and res.check_info is not None:
-                        emitted = (
-                            ("micr:line", res.check_info.micr_line),
-                            ("micr:routing", res.check_info.routing_number),
-                            ("micr:account", res.check_info.account_number),
-                            ("micr:check", res.check_info.check_number),
-                        )
-                    else:
-                        emitted = (("micr:error", res.error),)
-                    for k, (kind, text) in enumerate(emitted, start=1):
-                        out["media_ref"].append(ref)
-                        out["sub_order"].append(k)
-                        out["kind"].append(kind)
-                        out["text"].append(text)
-                        h.update(f"{ref}\x00{kind}\x00{text}\x01".encode())
+                # stream record batches like the non-resumable scan
+                # (pipeline.scan_media_files): memory stays bounded by
+                # the batch, not the part-file size — a 1 GB part must
+                # not become a 1 GB Arrow table per task
+                pf = papq.ParquetFile(local)
+                for rb in pf.iter_batches(batch_size=32,
+                                          use_threads=False):
+                    for ref, fmt, image in zip(
+                            rb.column("media_ref").to_pylist(),
+                            rb.column("format").to_pylist(),
+                            rb.column("image").to_pylist()):
+                        res = scan_check(image, fmt, tmpl)
+                        n_docs += 1
+                        if res.ok and res.check_info is not None:
+                            emitted = (
+                                ("micr:line", res.check_info.micr_line),
+                                ("micr:routing",
+                                 res.check_info.routing_number),
+                                ("micr:account",
+                                 res.check_info.account_number),
+                                ("micr:check",
+                                 res.check_info.check_number),
+                            )
+                        else:
+                            emitted = (("micr:error", res.error),)
+                        for k, (kind, text) in enumerate(emitted, start=1):
+                            out["media_ref"].append(ref)
+                            out["sub_order"].append(k)
+                            out["kind"].append(kind)
+                            out["text"].append(text)
+                            h.update(
+                                f"{ref}\x00{kind}\x00{text}\x01".encode())
                 pid = _partition_id(local)
                 span_path = os.path.join(spans_dir, f"{pid}.parquet")
                 tmp_path = span_path + f".tmp-{run_id}"
@@ -159,16 +169,20 @@ def run_resumable_extract(spark: SparkSession, documents: DataFrame,
                           run_id: str | None = None) -> ExtractRunResult:
     """Scan every media file not yet committed to the lineage table;
     idempotent and restart-safe.  Returns run stats."""
+    from .pipeline import media_manifest
     run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
-    all_files = [f.replace("file:", "") for f in media.inputFiles()]
-    # committed-work diff as a distributed ANTI-JOIN, not a driver-side
-    # python set: at 10^12-doc scale the lineage table has millions of
-    # rows and must never be collected.  (The file list itself comes
-    # from inputFiles() here; on Iceberg it would be the snapshot's
-    # file manifest read as a DataFrame.)
-    files_df = spark.createDataFrame([(f,) for f in all_files],
-                                     "path string")
+    # file manifest AND committed-work diff both stay distributed: the
+    # manifest is the _metadata-derived listing (pipeline.media_manifest
+    # — executors stat, driver never holds the file list), and the diff
+    # is an ANTI-JOIN against the lineage table, never a python set —
+    # at 10^12-doc scale both sides have millions of rows.  On Iceberg
+    # the manifest is the snapshot's file list read as a table.
+    manifest = media_manifest(media)
+    if manifest is None:
+        raise ValueError("resumable extract requires file-backed media")
+    n_files = manifest.count()
+    files_df = manifest.select("path")
     lineage = committed_lineage(spark, out_dir)
     if lineage is not None:
         files_df = files_df.join(
@@ -191,7 +205,7 @@ def run_resumable_extract(spark: SparkSession, documents: DataFrame,
     return ExtractRunResult(
         run_id=run_id,
         scanned_files=n_pending,
-        skipped_files=len(all_files) - n_pending,
+        skipped_files=n_files - n_pending,
         doc_count=int(agg[0] or 0),
         span_count=int(agg[1] or 0),
     )

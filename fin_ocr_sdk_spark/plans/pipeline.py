@@ -222,25 +222,45 @@ def scan_media_files(batches: Iterator[pd.DataFrame],
         yield pd.DataFrame(out)
 
 
+def media_manifest(media: DataFrame) -> DataFrame | None:
+    """(path, size) manifest of the media table's part files, derived
+    DISTRIBUTED from the ``_metadata`` hidden file-source column: a
+    zero-data-column scan (ReadSchema ``struct<>``) the source answers
+    from its file index — executors enumerate and stat, not the driver.
+    One row per part file that still has surviving rows (a filtered
+    media plan lists only files worth scanning).  On Iceberg this is
+    the snapshot's manifest read as a table.  Paths are canonical local
+    (``file:`` URI prefix stripped).  Returns None when media is not
+    file-backed (in-memory relations, derived columns — ``_metadata``
+    does not survive a Project)."""
+    try:
+        return (media.select(
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:/+", "/").alias("path"),
+            F.col("_metadata.file_size").alias("size"))
+            .distinct())
+    except Exception:  # noqa: BLE001 — AnalysisException: no _metadata
+        return None
+
+
 def _media_files_df(media: DataFrame) -> DataFrame | None:
-    files = media.inputFiles()
-    if not files:
+    manifest = media_manifest(media)
+    if manifest is None:
         return None
     spark = media.sparkSession
-    # two waves per core slot: amortizes the fixed per-task
-    # python-runner cost over several files; size-descending order +
-    # round-robin repartition stripes big files across tasks (near-LPT
-    # byte balance without a custom partitioner)
-    def fsize(f: str) -> int:
-        try:
-            import os
-            return os.path.getsize(f.replace("file:", ""))
-        except OSError:
-            return 0
+    # metadata-scale collect: one (path, size) row per part file, with
+    # sizes from the engine's distributed listing above — no driver
+    # stat loop.  Two waves per core slot amortize the fixed per-task
+    # python-runner cost; size-descending order + round-robin
+    # repartition stripes big files across tasks (near-LPT byte
+    # balance without a custom partitioner).
+    files = manifest.collect()
+    if not files:
+        return None
     nparts = max(1, min(len(files),
                         spark.sparkContext.defaultParallelism * 2))
-    ordered = sorted(files, key=fsize, reverse=True)
-    return spark.createDataFrame([(f,) for f in ordered],
+    ordered = sorted(files, key=lambda r: r["size"], reverse=True)
+    return spark.createDataFrame([(r["path"],) for r in ordered],
                                  "path string").repartition(nparts)
 
 
@@ -291,6 +311,33 @@ def _metadata_row_count(files: list[str]) -> int | None:
         return None
 
 
+_PROBE_FILES = 4
+
+
+def _survivor_fraction(media: DataFrame) -> float | None:
+    """Estimate the fraction of rows surviving the media plan's filters
+    from a BOUNDED sample of part files: ≤ _PROBE_FILES footers are read
+    (driver, metadata only) and the surviving-row count is taken with a
+    ``_metadata.file_path`` IN-filter, which the file source prunes to
+    exactly the sampled files — so the probe's cost never grows with
+    the table (a full-table ``media.count()`` here would scan every
+    filter column of a 100 TB table just to pick a strategy)."""
+    try:
+        sample = [r["p"] for r in
+                  (media.select(F.col("_metadata.file_path").alias("p"))
+                   .distinct().limit(_PROBE_FILES).collect())]
+        if not sample:
+            return None
+        total = _metadata_row_count(sample)
+        if not total:
+            return None
+        surviving = media.filter(
+            F.col("_metadata.file_path").isin(sample)).count()
+        return surviving / total
+    except Exception:  # noqa: BLE001 — no _metadata / non-parquet
+        return None
+
+
 def _choose_media_strategy(media: DataFrame) -> str:
     """Pick the media scan strategy (see extract_spans docstring):
 
@@ -298,22 +345,20 @@ def _choose_media_strategy(media: DataFrame) -> str:
                        no corrective semi-join needed
     - ``direct+semi``  filtered but still mostly-selective: direct reads
                        plus a semi-join to re-apply the relational filter
-    - ``arrow``        heavily filtered (<50% of footer rows survive) or
-                       not file-backed: classic join + byte-weighted
-                       repartition so only surviving rows are decoded
+    - ``arrow``        heavily filtered (<50% of sampled footer rows
+                       survive) or not file-backed: classic join +
+                       byte-weighted repartition so only surviving rows
+                       are decoded
     """
-    files = media.inputFiles()
-    if not files:
+    if not media.inputFiles():
         return "arrow"
     if _is_bare_file_scan(media):
         return "direct"
     if not _is_filter_over_file_scan(media):
         return "arrow"  # derived columns: file bytes != DataFrame rows
-    total = _metadata_row_count(files)
-    if total:
-        surviving = media.count()  # column-pruned count, runs only when
-        if surviving < 0.5 * total:  # the media plan has filters on it
-            return "arrow"
+    frac = _survivor_fraction(media)  # bounded: ≤ _PROBE_FILES files
+    if frac is not None and frac < 0.5:
+        return "arrow"
     return "direct+semi"
 
 

@@ -65,11 +65,13 @@ def test_filtered_media_respected_by_direct_reads(spark, smoke_dir):
     assert orders == list(range(len(orders)))
 
 
-def test_media_strategy_auto_selection(spark, smoke_dir):
+def test_media_strategy_auto_selection(spark, smoke_dir, tmp_path):
     """The pipeline picks the media scan strategy from the media plan:
     bare scan → direct (no corrective semi-join); lightly filtered →
-    direct + semi-join; heavily filtered → arrow join path (so only
-    surviving rows are ever decoded — no full-file over-scan)."""
+    direct + semi-join; heavily filtered WITHIN the surviving files →
+    arrow join path (so only surviving rows are ever decoded — no
+    full-file over-scan).  A filter that removes whole files stays on
+    the direct path: the post-filter manifest already skips them."""
     from pyspark.sql import functions as F
 
     from fin_ocr_sdk_spark.plans.pipeline import _choose_media_strategy
@@ -77,8 +79,41 @@ def test_media_strategy_auto_selection(spark, smoke_dir):
     assert _choose_media_strategy(media) == "direct"
     light = media.filter(F.col("media_ref") >= "img-00000001")  # 15/16
     assert _choose_media_strategy(light) == "direct+semi"
-    heavy = media.filter(F.col("media_ref") < "img-00000002")  # 2/16
+    # whole-file elimination (1 row per smoke part file): direct reads
+    # of the 2 surviving files have zero over-scan — keep direct+semi
+    aligned = media.filter(F.col("media_ref") < "img-00000002")  # 2/16
+    assert _choose_media_strategy(aligned) == "direct+semi"
+    # within-file selectivity: pack all 16 rows into 2 files, keep 2
+    # rows — the direct path would decode 8x the survivors → arrow
+    packed_dir = str(tmp_path / "packed_media")
+    media.repartition(2).write.parquet(packed_dir)
+    packed = spark.read.parquet(packed_dir)
+    heavy = packed.filter(F.col("media_ref").isin(
+        "img-00000000", "img-00000001"))
     assert _choose_media_strategy(heavy) == "arrow"
+
+
+def test_strategy_probe_reads_bounded_files(spark, smoke_dir):
+    """The survivor-fraction probe must never scan the whole table:
+    its count job reads at most _PROBE_FILES part files (the
+    _metadata.file_path IN-filter prunes the rest at the file index),
+    so choosing a strategy on a 100 TB table costs O(1) files."""
+    from pyspark.sql import functions as F
+
+    from fin_ocr_sdk_spark.plans import pipeline as P
+
+    media = (spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+             .filter(F.col("media_ref") >= "img-00000001"))
+    sample = [r["p"] for r in
+              (media.select(F.col("_metadata.file_path").alias("p"))
+               .distinct().limit(P._PROBE_FILES).collect())]
+    assert 0 < len(sample) <= P._PROBE_FILES
+    probe = media.filter(F.col("_metadata.file_path").isin(sample))
+    probe.collect()
+    leaf = (probe._jdf.queryExecution().executedPlan()
+            .collectLeaves().apply(0))
+    n_files = leaf.metrics().get("numFiles").get().value()
+    assert n_files <= P._PROBE_FILES  # pruned: 4 of 16 smoke files
 
 
 def test_heavily_filtered_media_same_result_both_paths(spark, smoke_dir):

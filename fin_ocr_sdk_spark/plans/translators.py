@@ -14,6 +14,7 @@ keyed by name (the reference's TranslatorsResult map).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from ..config import Config
@@ -62,24 +63,94 @@ class OpencvEngine:
                                char_choices=result.char_choices)
 
 
+def _tesseract_binary() -> str:
+    """Path to the external tesseract binary, or ImportError — the same
+    gate type the registry contract has always used, so callers keep
+    treating an absent binary as 'engine unavailable'."""
+    import shutil
+    path = shutil.which("tesseract")
+    if path is None:
+        raise ImportError(
+            "tesseract engine requires the tesseract binary (plus a "
+            "traineddata model); not available in this environment "
+            "(enable via OCR_TRANSLATORS=opencv)")
+    return path
+
+
+def _run_tesseract(gray, psm: str, lang: str) -> tuple[str, float]:
+    """Invoke the tesseract CLI on a grayscale array: TIFF in (our own
+    codec — no PIL in this environment), TSV out; returns (text, mean
+    word confidence).  Mirrors worker.recognize returning data.text /
+    data.confidence (src/tesseractTranslator.ts:110-124).  Falls back
+    to the stock 'eng' model when the configured font's traineddata is
+    not installed — the reference ships micr_e13b but notes it could
+    not load the bundled model either (tesseractTranslator.ts:63-66)."""
+    import subprocess
+    import tempfile
+
+    from ..sources import codecs
+    binary = _tesseract_binary()
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        f.write(codecs.encode_tiff(gray.astype("uint8")))
+        path = f.name
+    try:
+        for use_lang in dict.fromkeys((lang, "eng")):
+            proc = subprocess.run(
+                [binary, path, "stdout", "--psm", str(psm),
+                 "-l", use_lang, "tsv"],
+                capture_output=True, text=True, timeout=120)
+            if proc.returncode == 0:
+                break
+        else:
+            raise RuntimeError(f"tesseract failed: {proc.stderr[:200]}")
+    finally:
+        os.unlink(path)
+    words: list[str] = []
+    confs: list[float] = []
+    lines: dict[tuple, list[str]] = {}
+    header: list[str] = []
+    for i, row in enumerate(proc.stdout.splitlines()):
+        cols = row.split("\t")
+        if i == 0:
+            header = cols
+            continue
+        rec = dict(zip(header, cols))
+        if rec.get("level") != "5" or not rec.get("text", "").strip():
+            continue
+        key = (rec["page_num"], rec["block_num"], rec["par_num"],
+               rec["line_num"])
+        lines.setdefault(key, []).append(rec["text"])
+        words.append(rec["text"])
+        try:
+            confs.append(float(rec["conf"]))
+        except ValueError:
+            pass
+    text = "\n".join(" ".join(ws) for _, ws in sorted(lines.items()))
+    score = sum(confs) / len(confs) if confs else 0.0
+    return text, score
+
+
 class TesseractEngine:
-    """External-binary engine (reference: src/tesseractTranslator.ts).
-    Stubbed: no tesseract binary/model in this environment; the
-    registry contract (selection, rejection, fan-out) is fully real."""
+    """External-binary engine (reference: src/tesseractTranslator.ts):
+    PSM 13 raw-line mode over the line image, optional bitwiseNot when
+    tesseract_black_on_white is set (tesseractTranslator.ts:96-98).
+    Import-gated: constructing it without a tesseract binary raises
+    ImportError and the registry treats the engine as unavailable."""
 
     name = "tesseract"
 
-    def __init__(self):
-        try:
-            import pytesseract  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "tesseract engine requires pytesseract + a tesseract "
-                "binary with the micr_e13b model; not available in this "
-                "environment (enable via OCR_TRANSLATORS=opencv)") from e
+    def __init__(self, cfg: Config | None = None):
+        _tesseract_binary()  # gate: ImportError when absent
+        self.cfg = cfg or Config()
 
-    def translate(self, line: Line, **_):  # pragma: no cover
-        raise NotImplementedError
+    def translate(self, line: Line, **_) -> TranslateResult:
+        img = line.image
+        if self.cfg.tesseract_black_on_white:
+            img = 255 - img
+        text, score = _run_tesseract(img, self.cfg.tesseract_psm,
+                                     self.cfg.font)
+        return TranslateResult(value=text.strip(), score=score,
+                               char_choices=[])
 
 
 def build_engines(cfg: Config | None = None,
@@ -94,7 +165,7 @@ def build_engines(cfg: Config | None = None,
         if name == "opencv":
             engines[name] = opencv
         elif name == "tesseract":
-            engines[name] = TesseractEngine()
+            engines[name] = TesseractEngine(cfg)
         else:
             raise ValueError(
                 f"Invalid translator name '{name}' found in "
@@ -111,25 +182,20 @@ def translate_all(engines: dict[str, object], line: Line,
 
 
 class TesseractFullPageEngine:
-    """Full-page OCR engine for the check-number fallback (reference:
-    src/tesseractTranslator.ts full-page mode, enabled alongside the
-    tesseract line engine).  Stubbed behind the same import gate; any
-    object with ``translate_image(gray) -> str`` satisfies the protocol
-    (tests inject a fake)."""
+    """Full-page OCR engine for the check-number fallback: font 'eng',
+    PSM 3 auto page segmentation — exactly how the reference constructs
+    tesseractFullPage (src/ocr.ts:75-76).  Same ImportError gate as the
+    line engine; any object with ``translate_image(gray) -> str``
+    satisfies the protocol (tests inject a fake)."""
 
     name = "tesseract-full-page"
 
     def __init__(self):
-        try:
-            import pytesseract  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "full-page tesseract engine requires pytesseract + a "
-                "tesseract binary; not available in this environment"
-            ) from e
+        _tesseract_binary()  # gate: ImportError when absent
 
-    def translate_image(self, gray) -> str:  # pragma: no cover
-        raise NotImplementedError
+    def translate_image(self, gray) -> str:
+        text, _ = _run_tesseract(gray, "3", "eng")
+        return text
 
 
 def build_full_page_engine(cfg: Config | None = None):

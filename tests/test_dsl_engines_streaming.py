@@ -1,6 +1,9 @@
 """Scanner action DSL, translator registry, supervised correction, and
 the Structured-Streaming video-loop analog."""
 
+import os
+import shutil
+
 import numpy as np
 import pytest
 
@@ -65,10 +68,14 @@ def test_registry_selects_and_rejects():
     assert list(engines) == ["opencv"]
     with pytest.raises(ValueError, match="Invalid translator name"):
         build_engines(Config(translators="opencv,magic"))
-    with pytest.raises(ImportError, match="pytesseract"):
-        build_engines(Config(translators="tesseract,opencv"))
-    with pytest.raises(ImportError):
-        TesseractEngine()
+    if shutil.which("tesseract") is None:  # this environment
+        with pytest.raises(ImportError, match="tesseract binary"):
+            build_engines(Config(translators="tesseract,opencv"))
+        with pytest.raises(ImportError):
+            TesseractEngine()
+    else:  # binary installed: registry constructs the live engine
+        engines = build_engines(Config(translators="tesseract,opencv"))
+        assert list(engines) == ["tesseract", "opencv"]
 
 
 def _make_line(micr_text="U2154U T031100649T 4400000084U"):
@@ -248,3 +255,67 @@ def test_streaming_drain(nothing, tmp_path):
         assert not any(r["kind"] == "micr:error" for r in results)
     finally:
         spark.stop()
+
+
+# ------------------------------------------- tesseract adapter
+
+_FAKE_TESSERACT = r"""#!/bin/sh
+# fake tesseract: rejects the micr_e13b model (forcing the documented
+# eng fallback), then emits a fixed two-word TSV line
+lang=""
+seen_l=0
+for a in "$@"; do
+  if [ "$seen_l" = "1" ]; then lang="$a"; seen_l=0; fi
+  [ "$a" = "-l" ] && seen_l=1
+done
+if [ "$lang" != "eng" ]; then
+  echo "Failed loading language '$lang'" >&2
+  exit 1
+fi
+printf 'level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\tleft\ttop\twidth\theight\tconf\ttext\n'
+printf '1\t1\t0\t0\t0\t0\t0\t0\t40\t20\t-1\t\n'
+printf '5\t1\t1\t1\t1\t1\t0\t0\t18\t18\t91.5\tCheck\n'
+printf '5\t1\t1\t1\t1\t2\t20\t0\t18\t18\t88.5\tNo\n'
+"""
+
+
+@pytest.fixture()
+def fake_tesseract(tmp_path, monkeypatch):
+    binary = tmp_path / "tesseract"
+    binary.write_text(_FAKE_TESSERACT)
+    binary.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    return str(binary)
+
+
+def test_tesseract_adapter_tsv_parse_and_lang_fallback(fake_tesseract):
+    """The CLI adapter end-to-end minus the binary itself: TIFF
+    round-trip in, TSV word rows out, mean confidence, and the
+    micr_e13b → eng traineddata fallback."""
+    from fin_ocr_sdk_spark.plans.translators import (
+        TesseractEngine, TesseractFullPageEngine, _run_tesseract)
+
+    gray = np.full((24, 60), 255, dtype=np.uint8)
+    text, score = _run_tesseract(gray, "13", "micr_e13b")
+    assert text == "Check No"
+    assert score == pytest.approx((91.5 + 88.5) / 2)
+    assert TesseractFullPageEngine().translate_image(gray) == "Check No"
+    line, _ = _make_line()
+    res = TesseractEngine(Config(tesseract_black_on_white=True)
+                          ).translate(line)
+    assert res.value == "Check No" and res.char_choices == []
+
+
+@pytest.mark.skipif(shutil.which("tesseract") is None,
+                    reason="no tesseract binary installed")
+def test_tesseract_live_binary():
+    """Runs only where a real tesseract is installed: PSM 3 full-page
+    OCR of a rendered check image returns text without error."""
+    from fin_ocr_sdk_spark.plans.translators import _run_tesseract
+    from fin_ocr_sdk_spark.sources.fixtures import CheckSpec, compose_check
+    rng = np.random.default_rng(3)
+    spec = CheckSpec(micr_text="T031100649T", skew=0.0, fmt="png",
+                     dark_header=False, noise=False)
+    img = K.grayscale(compose_check(spec, rng))
+    text, score = _run_tesseract(img, "3", "eng")
+    assert isinstance(text, str) and score >= 0.0

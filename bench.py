@@ -5,9 +5,20 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 The flagship metric is MICR-extraction throughput (docs/sec) over the
-synthesized interleaved check corpus (sized by sf); the remaining
-headline queries exercise the relational/training-data operators on the
-driver's parquet tables.
+synthesized interleaved check corpus (sized by sf), measured with the
+same protocol the scaling bench uses: FRESH JVM per repetition, the
+lossless and lossy corpora INTERLEAVED across repetitions, best wall
+per variant.  This host is a VM with minute-scale interference windows
+worth ±20-35% (identical code measured 9.6-16.9 s in round 1/2), so a
+best-of-sequential-reps-in-one-process number confounds host drift with
+code changes; fresh interleaved JVMs expose both variants to the same
+windows and the per-rep wall times are reported so a noisy round is
+self-explaining.  Span equality vs the golden table is asserted on the
+first repetition of each variant (the output is deterministic).
+
+The remaining headline queries exercise the relational/training-data
+operators on the driver's parquet tables in one shared warm session
+(their second-scale timings only need coarse comparability).
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 scripts/bench_scaling.py → BENCH/BASELINE.md; this file stays a
@@ -18,10 +29,13 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -54,38 +68,91 @@ def _cpu_times() -> tuple[int, int]:
         return (0, 0)
 
 
+FLAGSHIP_SNIPPET = """
+import glob, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from fin_ocr_sdk_spark.session import get_spark
+from fin_ocr_sdk_spark.plans.pipeline import extract_spans
+spark = get_spark("bench-flagship", master={master!r})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(os.path.join({bench_dir!r}, "documents.parquet"))
+media = spark.read.parquet(os.path.join({bench_dir!r}, "media.parquet"))
+# warm-up on a SUBSET of media part files: spins up + reuses python
+# workers on every core slot, JITs the kernels, primes the page cache
+# for docs — without paying a full extra pass at the measured size
+parts = sorted(glob.glob(os.path.join({bench_dir!r},
+                                      "media.parquet", "part-*.parquet")))
+warm = spark.read.parquet(*parts[:max(1, len(parts) // 8)])
+extract_spans(docs, warm).count()
+t0 = time.time()
+n = extract_spans(docs, media).count()
+sec = time.time() - t0
+mismatch = -1
+if {verify!r}:
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    out = extract_spans(docs, media).select(cols)
+    exp = spark.read.parquet(
+        os.path.join({bench_dir!r}, "expected_spans.parquet")).select(cols)
+    mismatch = out.exceptAll(exp).count() + exp.exceptAll(out).count()
+spark.stop()
+print("RESULT " + json.dumps({{"sec": sec, "rows": n,
+                               "span_mismatch": mismatch}}))
+"""
+
+
+def run_flagship(master: str, bench_dir: str, verify: bool) -> dict:
+    code = FLAGSHIP_SNIPPET.format(repo=REPO, master=master,
+                                   bench_dir=bench_dir, verify=verify)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True, cwd=REPO)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line:\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
                                 bench_docs_for(sf)))
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    reps = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "3"))
 
-    # materialize the check corpus BEFORE timing (input data, not work)
+    # materialize both check corpora BEFORE timing (input, not work):
+    # the lossless cycle (png/tiff/bmp) measures the engine, the lossy
+    # one adds the pure-python jpeg/gif decoders a real corpus pays for
     from fin_ocr_sdk_spark.sources.tables import fixture_dir
     bench_dir = fixture_dir(f"bench{n_docs}", n_docs, lossy=False)
+    lossy_dir = fixture_dir(f"bench{n_docs}lossy", n_docs, lossy=True)
 
     from fin_ocr_sdk_spark.session import get_spark
     spark = get_spark("bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
-    from fin_ocr_sdk_spark.plans.pipeline import extract_spans
 
     queries: dict[str, float] = {}
     steal0, total0 = _cpu_times()
 
     # -- flagship: MICR extraction throughput --------------------------
-    docs = spark.read.parquet(os.path.join(bench_dir, "documents.parquet"))
-    media = spark.read.parquet(os.path.join(bench_dir, "media.parquet"))
-    out_rows = extract_spans(docs, media).count()  # warm-up: full pass
-    dt = None
-    for _ in range(3):  # best-of-3: host timing noise exceeds ±15%
-        t0 = time.time()
-        out_rows = extract_spans(docs, media).count()
-        d = time.time() - t0
-        dt = d if dt is None else min(dt, d)
-    queries["micr_extract"] = round(dt, 3)
-    docs_per_sec = n_docs / dt
+    # interleaved best-of-`reps` fresh JVMs per corpus variant
+    runs: dict[str, list] = {"lossless": [], "lossy": []}
+    best: dict[str, dict] = {}
+    span_mismatch: dict[str, int] = {}
+    for i in range(reps):
+        for variant, vdir in (("lossless", bench_dir),
+                              ("lossy", lossy_dir)):
+            r = run_flagship(master, vdir, verify=(i == 0))
+            runs[variant].append(round(r["sec"], 3))
+            if i == 0:
+                span_mismatch[variant] = r["span_mismatch"]
+            if variant not in best or r["sec"] < best[variant]["sec"]:
+                best[variant] = r
+    queries["micr_extract"] = round(best["lossless"]["sec"], 3)
+    queries["micr_extract_lossy"] = round(best["lossy"]["sec"], 3)
+    out_rows = best["lossless"]["rows"]
+    docs_per_sec = n_docs / best["lossless"]["sec"]
 
     # -- headline relational / training-data queries -------------------
     qs = entrymod.queries()
@@ -112,6 +179,12 @@ def main() -> None:
         "total_sec": total,
         "master": master,
         "host_steal_pct": round(steal_pct, 1),
+        "flagship_protocol":
+            f"best-of-{reps} fresh JVMs per variant, variants "
+            "interleaved, warm-up subset inside each JVM",
+        "flagship_runs_sec": runs,
+        "lossy_docs_per_sec": round(n_docs / best["lossy"]["sec"], 2),
+        "span_mismatch": span_mismatch,
     }
     spark.stop()
     print(json.dumps(result))

@@ -452,11 +452,18 @@ def preprocess_only(documents: DataFrame, media: DataFrame) -> DataFrame:
             for doc_id, media_ref, fmt, image in zip(
                     pdf["doc_id"], pdf["media_ref"], pdf["format"],
                     pdf["image"]):
-                gray = K.grayscale(codecs.decode_image(bytes(image), fmt))
-                band = get_micr_band(gray)
-                line = find_micr_line(band, templates)
                 rows["doc_id"].append(doc_id)
                 rows["media_ref"].append(media_ref)
+                try:  # same failure contract as scan_check: one corrupt
+                    # image yields an error row, never a failed task
+                    gray = K.grayscale(
+                        codecs.decode_image(bytes(image), fmt))
+                except ValueError as e:
+                    rows["overlap"].append(f"error: decode: {e}")
+                    rows["band"].append(None)
+                    continue
+                band = get_micr_band(gray)
+                line = find_micr_line(band, templates)
                 rows["overlap"].append(
                     "" if line is None else str(line.overlap).lower())
                 rows["band"].append(codecs.encode_png(band))

@@ -205,6 +205,22 @@ def test_preprocess_only(spark, smoke_dir):
     assert pre["band"].map(len).min() > 0
 
 
+def test_preprocess_only_corrupt_image_is_error_row(spark, smoke_dir):
+    """One corrupt image must yield an error row, not a failed task —
+    the same failure contract as the main scan path."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    media = media.withColumn(
+        "image",
+        F.when(F.col("media_ref") == "img-00000000",
+               F.lit(b"\xff\xd8\xffgarbage")).otherwise(F.col("image")))
+    pre = preprocess_only(docs, media).toPandas().set_index("media_ref")
+    assert pre.loc["img-00000000", "overlap"].startswith("error: decode")
+    assert pre.loc["img-00000000", "band"] is None
+    assert (pre.drop("img-00000000")["overlap"] == "false").all()
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as m
     df = m.entry(spark)

@@ -714,6 +714,109 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_buckets_df(_t(spark, sf_dir, "embeddings"))
 
 
+_IVF_K = 8        # coarse centroids (seed vectors vec_id < _IVF_K)
+_IVF_NPROBE = 2   # cells searched per query
+
+
+def _quant_int64(mat):
+    import numpy as np
+    return np.floor(np.asarray(mat, dtype=np.float64)
+                    * 1_000_000 + 0.5).astype(np.int64)
+
+
+def _cos_e4_to_seeds(w, ws):
+    """floor(cos*10000+0.5) of quantized int64 vectors — same op order
+    as the DuckDB twin (num / (da*db) * 10000 + 0.5), every term exact
+    (integer sums < 2^53), so the e4 integers are bit-identical."""
+    import numpy as np
+    num = (w @ ws.T).astype(np.float64)
+    den = np.outer(np.sqrt((w * w).sum(axis=1).astype(np.float64)),
+                   np.sqrt((ws * ws).sum(axis=1).astype(np.float64)))
+    return np.floor(num / den * 10000 + 0.5).astype(np.int64)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the second scale path next to LSH: every vector
+    is assigned to its nearest of _IVF_K coarse centroids (one
+    broadcast int64 matmul per Arrow batch — at 10^12 vectors this is
+    the only full pass, and cells become partition keys so a query
+    touches _IVF_NPROBE partitions instead of the corpus); each query
+    then searches only its _IVF_NPROBE nearest cells with the exact
+    cosine.  Centroid seeds are the vec_id < _IVF_K vectors
+    (deterministic — no k-means iterations, so the DuckDB twin can
+    replicate the assignment bit-for-bit with the same quantized
+    integer arithmetic; a trained quantizer would drop in as a
+    different seed table).  Ties break toward the lower centroid id in
+    both engines.  Top-5 per query, self excluded, recall vs the
+    brute-force baseline visible by comparing with ann_cosine_topk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (e.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id")
+             .collect())
+    seed_ids = np.array([r.vec_id for r in seeds], dtype=np.int64)
+    ws = _quant_int64([r.embedding for r in seeds])
+
+    assign_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("centroid_id", LongType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = _quant_int64(list(pdf["embedding"]))
+            e4 = _cos_e4_to_seeds(w, ws)
+            # argmax picks the FIRST max → lowest centroid id on ties,
+            # mirroring the twin's ORDER BY cos DESC, centroid_id ASC
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": seed_ids[e4.argmax(axis=1)],
+            })
+
+    assignments = e.mapInPandas(assign, assign_schema)
+
+    # probe table: 8x8 integer cosines on the driver (seeds only)
+    e4s = _cos_e4_to_seeds(ws, ws)
+    probe_rows = []
+    for qi, q in enumerate(seed_ids):
+        order = sorted(range(len(seed_ids)),
+                       key=lambda j: (-e4s[qi, j], seed_ids[j]))
+        probe_rows += [(int(q), int(seed_ids[j]))
+                       for j in order[:_IVF_NPROBE]]
+    probes = spark.createDataFrame(probe_rows,
+                                   "query_id long, centroid_id long")
+
+    cand = (probes.join(assignments, "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    eq = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("emb_q"))
+    ev = e.select("vec_id", F.col("embedding").alias("emb_v"))
+    pairs = cand.join(F.broadcast(eq), "query_id").join(ev, "vec_id")
+
+    @F.pandas_udf(LongType())
+    def cos_e4(u: pd.Series, v: pd.Series) -> pd.Series:
+        import numpy as np
+        a, c = _quant_int64(list(u)), _quant_int64(list(v))
+        num = (a * c).sum(axis=1).astype(np.float64)
+        den = (np.sqrt((a * a).sum(axis=1).astype(np.float64))
+               * np.sqrt((c * c).sum(axis=1).astype(np.float64)))
+        return pd.Series(np.floor(num / den * 10000 + 0.5)
+                         .astype(np.int64))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"),
+                                               F.asc("vec_id"))
+    return (pairs.withColumn("cosine_e4", cos_e4("emb_q", "emb_v"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.col("rk").cast("long").alias("rk"), "cosine_e4"))
+
+
 _NEAR_DUP_COSINE_E4 = 2000   # cosine ≥ 0.2 as integer ten-thousandths
 _NEAR_DUP_PLANES = 16        # 2 bands × 8 planes
 _EMB_BUCKET_CAP = 50         # same rationale as _MINHASH_BUCKET_CAP
@@ -843,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
     }
@@ -1005,6 +1109,57 @@ def _near_dup_oracle() -> str:
           JOIN qv wb ON vec_b = wb.vec_id)
         SELECT vec_a, vec_b, cosine_e4 FROM scored
         WHERE cosine_e4 >= {_NEAR_DUP_COSINE_E4}
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """Twin of q_ann_ivf_topk: identical quantized integer cosine
+    (exact — see _near_dup_oracle), seed centroids vec_id < _IVF_K,
+    nearest-cell assignment and _IVF_NPROBE probes with the same
+    (cos DESC, centroid_id ASC) tie-break, top-5 per query."""
+    cos = ("CAST(floor(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+           " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+           " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+           " * 10000 + 0.5) AS BIGINT)")
+    return f"""
+        WITH qv AS (
+          SELECT vec_id,
+                 [CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT)
+                  FOR v IN embedding] AS w
+          FROM embeddings),
+        seeds AS (SELECT vec_id AS centroid_id, w FROM qv
+                  WHERE vec_id < {_IVF_K}),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, s.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos.format(a="v.w", b="s.w")} DESC,
+                                s.centroid_id ASC) AS rk
+            FROM qv v CROSS JOIN seeds s) t
+          WHERE rk = 1),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.centroid_id AS query_id, s.centroid_id,
+                   row_number() OVER (PARTITION BY q.centroid_id
+                       ORDER BY {cos.format(a="q.w", b="s.w")} DESC,
+                                s.centroid_id ASC) AS rk
+            FROM seeds q CROSS JOIN seeds s) t
+          WHERE rk <= {_IVF_NPROBE}),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN assign a USING (centroid_id)
+          WHERE a.vec_id <> p.query_id),
+        scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 {cos.format(a="wq.w", b="wv.w")} AS cosine_e4
+          FROM cand c
+          JOIN qv wq ON c.query_id = wq.vec_id
+          JOIN qv wv ON c.vec_id = wv.vec_id)
+        SELECT query_id, neighbor_id, rk, cosine_e4 FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_e4 DESC, neighbor_id ASC) AS rk
+          FROM scored) t
+        WHERE rk <= 5
     """
 
 
@@ -1251,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "ann_lsh_buckets": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "media_metadata": f"""
             SELECT media_ref, format, width, height,

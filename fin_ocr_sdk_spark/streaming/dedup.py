@@ -1,0 +1,98 @@
+"""Streaming exact-dedup — a training-data-pipeline operator, NOT
+reference parity (the reference's only stream is the video loop;
+see streaming/video.py).  Continuous document ingest at corpus scale
+needs first-occurrence-wins dedup across micro-batches, which is a
+custom stateful operator: Spark's dropDuplicates state never expires
+without event-time columns the ingest rows may lack.
+
+Implementation: ``applyInPandasWithState`` keyed by a 16-bit prefix of
+sha256(text).  The key space (65,536 groups) bounds per-task state and
+spreads the shuffle; each group's state is the set of full digests seen
+so far, so collisions across texts are impossible and state size is
+32 bytes per distinct document in the group — at 10^12 docs state
+shards across executors by group and survives restarts through the
+checkpoint.  Only the first occurrence of each digest (per arrival
+order within the batch: lowest doc_id wins inside one batch, earlier
+batch wins across batches) is emitted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, LongType, StringType,
+                               StructField, StructType)
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+OUT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("digest", StringType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("seen", ArrayType(StringType())),
+])
+
+
+def _dedup_group(key, pdfs, state):
+    import pandas as pd
+    seen = set(state.get[0]) if state.exists else set()
+    out_ids: list[int] = []
+    out_digests: list[str] = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # lowest doc_id wins inside a batch: deterministic under
+        # task-order nondeterminism within the micro-batch
+        for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"]),
+                                   key=lambda t: t[0]):
+            digest = hashlib.sha256(str(text).encode()).hexdigest()
+            if digest in seen:
+                continue
+            seen.add(digest)
+            out_ids.append(int(doc_id))
+            out_digests.append(digest)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"doc_id": out_ids, "digest": out_digests})
+
+
+def dedup_stream(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int = 1) -> DataFrame:
+    """The streaming dedup plan over a parquet ingest dir: group by the
+    digest prefix, keep first occurrences via per-group state."""
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    keyed = stream.withColumn(
+        "k", F.substring(F.sha2(F.col("text"), 256), 1, 4))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return keyed.groupBy("k").applyInPandasWithState(
+        _dedup_group, OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def run_dedup_drain(spark: SparkSession, input_dir: str,
+                    checkpoint_dir: str,
+                    max_files_per_trigger: int = 1) -> list[dict]:
+    """Drain everything currently in `input_dir` through the stateful
+    dedup (availableNow) and return the emitted first-occurrence rows
+    in arrival order.  The checkpoint dir makes a second invocation
+    resume the state: documents already emitted in a previous run stay
+    deduplicated."""
+    rows: list[dict] = []
+
+    def collect(batch_df: DataFrame, batch_id: int) -> None:
+        rows.extend(r.asDict() for r in batch_df.collect())
+
+    q = (dedup_stream(spark, input_dir, max_files_per_trigger)
+         .writeStream.outputMode("update").foreachBatch(collect)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return rows

@@ -169,3 +169,34 @@ def test_embedding_near_dup_banding_recall(spark, tmp_path_factory):
     den = (np.sqrt(float((w[0] * w[0]).sum()))
            * np.sqrt(float((w[1] * w[1]).sum())))
     assert rows[(0, 1)] == int(np.floor(num / den * 10000 + 0.5))
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup across micro-batches: state
+    carries between batches within a run AND across runs through the
+    checkpoint; only first occurrences are emitted."""
+    from fin_ocr_sdk_spark.streaming.dedup import run_dedup_drain
+
+    ingest = tmp_path / "ingest"
+    ingest.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_part(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": [r[1] for r in rows],
+        }), str(ingest / name))
+
+    write_part("part-000.parquet", [(1, "alpha"), (2, "beta"),
+                                    (3, "alpha")])
+    write_part("part-001.parquet", [(4, "beta"), (5, "gamma")])
+    rows = run_dedup_drain(spark, str(ingest), ckpt,
+                           max_files_per_trigger=1)
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 5]
+
+    # resume: a new file with one dup and one new text; the checkpoint
+    # restores state so 'alpha' stays suppressed
+    write_part("part-002.parquet", [(6, "alpha"), (7, "delta")])
+    rows2 = run_dedup_drain(spark, str(ingest), ckpt,
+                            max_files_per_trigger=1)
+    assert sorted(r["doc_id"] for r in rows2) == [7]

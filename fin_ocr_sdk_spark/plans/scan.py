@@ -41,6 +41,31 @@ class ScanResult:
     char_choices: list = field(default_factory=list)
 
 
+def _refine_skew_candidate(gray: np.ndarray,
+                           rect_small: tuple[int, int, int, int],
+                           ds: int):
+    """Full-res re-measure of one half-res skew candidate: padded crop,
+    the same blur → Otsu → 25x1 dilate pipeline, then the component
+    overlapping the candidate's box the most.  Returns a Region (crop
+    coordinates) or None."""
+    from ..functions.geometry import get_intersecting_rect
+    x, y, rw, rh = rect_small
+    x0 = max(0, x * ds - ds)
+    y0 = max(0, y * ds - ds)
+    x1 = min(gray.shape[1], (x + rw) * ds + ds)
+    y1 = min(gray.shape[0], (y + rh) * ds + ds)
+    crop = K.gaussian_blur(gray[y0:y1, x0:x1], 7)
+    cbin = K.dilate(K.otsu_binary_inv(crop), 25, 1)
+    target = (x * ds - x0, y * ds - y0, rw * ds, rh * ds)
+    best, ov_best = None, 0
+    for r in K.find_regions(cbin):
+        ic = get_intersecting_rect(r.rect, target)
+        ov = ic[2] * ic[3] if ic else 0
+        if ov > ov_best:
+            best, ov_best = r, ov
+    return best
+
+
 def skew_angle(gray: np.ndarray, downscale: int = 2) -> float:
     """Skew estimate (src/image.ts:591-607 + findSkewContourV3):
     blur(7) → Otsu-inv → dilate 25x1 → among contours with w>120,
@@ -54,43 +79,76 @@ def skew_angle(gray: np.ndarray, downscale: int = 2) -> float:
     the full-resolution pass is the scan stage's single largest memory
     load at high worker concurrency.  Rotation itself stays full-res.
     """
+    from ..functions.geometry import rect_touches_border
     ds = downscale if min(gray.shape) >= 128 * downscale else 1
     small = gray[::ds, ::ds] if ds > 1 else gray
     img = K.gaussian_blur(small, 7)
     img = K.otsu_binary_inv(img)
     img = K.dilate(img, max(2, 25 // ds), 1)
     h, w = img.shape
-    regions = K.find_regions(img)
-    best = None
-    best_ratio = None
-    for r in regions:
+    eligible = []
+    for r in K.find_regions(img):
         rx, ry, rw, rh = r.rect
         # scaled thresholds with a half-pixel allowance for the strided
         # sampling (full-res h<100 ⇒ half-res h ≤ ceil(99/2) = 50)
         if not (rw > 120 / ds - 1 and 10 / ds - 1 < rh < 100 / ds + 0.5):
             continue
-        from ..functions.geometry import rect_touches_border
         if rect_touches_border(r.rect, (w, h)):
             continue
         ratio = r.area / r.area2 if r.area2 else float("inf")
-        if best_ratio is None or ratio < best_ratio:
-            best_ratio = ratio
-            best = r
-    if best is None:
+        eligible.append((ratio, r))
+    if not eligible:
         return 0.0
+    eligible.sort(key=lambda t: t[0])
     if ds > 1:
-        # angle precision on short bars needs full resolution: re-measure
-        # the chosen candidate's region on a full-res crop (tiny compared
-        # to a full-res detection pass)
-        x, y, rw, rh = best.rect
-        x0 = max(0, x * ds - ds)
-        y0 = max(0, y * ds - ds)
-        x1 = min(gray.shape[1], (x + rw) * ds + ds)
-        y1 = min(gray.shape[0], (y + rh) * ds + ds)
-        crop = K.gaussian_blur(gray[y0:y1, x0:x1], 7)
-        mask = K.otsu_binary_inv(crop) > 0
+        # Both the fit RATIO and the angle of thin bars are unreliable
+        # at half resolution (a 12px-tall skewed line is 6px tall and
+        # its pixel count halves non-uniformly), so the strided pass
+        # only SHORTLISTS candidates; each is re-measured on a full-res
+        # crop that reproduces the whole detection pipeline (blur →
+        # Otsu → 25x1 dilate → component select), and the winner is
+        # re-picked by the FULL-RES fit ratio.  Selecting on half-res
+        # ratios picked the wrong bar on ~0.5% of ±3° fixtures, and
+        # re-thresholding the crop without dilation+component-select
+        # let neighboring lines bend the angle — both split on-us
+        # symbols downstream.
+        refined = []
+        for _, cand in eligible[:6]:
+            fr = _refine_skew_candidate(gray, cand.rect, ds)
+            if fr is None:
+                continue
+            rw, rh = fr.rect[2], fr.rect[3]
+            # width bound keeps angle resolution; the height FLOOR is
+            # deliberately not re-applied — the crop's local Otsu traces
+            # bars 1-3px thinner than the full-image threshold the
+            # detection (and the reference) saw, and rejecting an
+            # h=10 bar here would zero the estimate on images whose
+            # every line is thin
+            if not (rw > 120 and rh < 100):
+                continue
+            ratio = fr.area / fr.area2 if fr.area2 else float("inf")
+            refined.append((ratio, rw, fr))
+        if not refined:
+            return 0.0
+        # Documented deviation from the reference's pure min-fit-ratio
+        # pick (image.ts:650-664): a bar's angle resolution is ∝ 1/width
+        # (a 3° skew drops 8px over a 158px header bar — inside the
+        # glyph-envelope noise, so its min-area rect stays axis-aligned
+        # and reports 0°), so the final pick considers only candidates
+        # at least half as wide as the widest refined bar.  On clean
+        # images the MICR/address lines win the fit ratio anyway; this
+        # only changes images where a short lucky-rectangular bar would
+        # out-rank every long bar and zero out the estimate.
+        wmax = max(rw for _, rw, _ in refined)
+        best_ratio, best_region = None, None
+        for ratio, rw, fr in refined:
+            if rw * 2 < wmax:
+                continue
+            if best_ratio is None or ratio < best_ratio:
+                best_ratio, best_region = ratio, fr
+        mask = best_region.mask()
     else:
-        mask = best.mask()
+        mask = eligible[0][1].mask()
     # hull of a filled region == hull of its per-row x extremes: feed
     # O(rows) points into the calipers instead of O(pixels)
     rows = np.nonzero(mask.any(axis=1))[0]

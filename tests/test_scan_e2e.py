@@ -65,6 +65,29 @@ def test_skew_recovery():
         assert measured == pytest.approx(-applied, abs=0.5)
 
 
+# fixture-corpus doc indices that historically broke the estimator:
+# short lucky-rectangular header bars out-ranking the MICR bar (→ 0°),
+# half-res fit ratios picking the wrong bar, crop re-threshold without
+# dilation+component-select, and the full-res height floor rejecting
+# thin local-Otsu bars — each index failed for one of those reasons
+_SKEW_REGRESSION_DOCS = (173, 369, 389, 496, 551, 1281, 1398, 1693,
+                         1731, 1924, 2074, 2311, 2434)
+
+
+@pytest.mark.parametrize("i", _SKEW_REGRESSION_DOCS)
+def test_skew_regression_corpus_docs(i, templates):
+    """End-to-end scans of the exact fixture-corpus variants that used
+    to misestimate skew and split/misread on-us symbols (span-equality
+    failures on the 2,560-doc bench corpus before round 3)."""
+    rng = np.random.default_rng(42 * 1_000_003 + i)
+    spec = make_spec(i, rng, lossy=False)
+    img = compose_check(spec, rng)
+    res = scan_check(codecs.encode_image(img, spec.fmt), spec.fmt,
+                     templates)
+    assert res.ok, res.error
+    assert res.micr_value == spec.micr_clean
+
+
 def test_band_crop_contains_micr(templates):
     rng = np.random.default_rng(9)
     # NOTE: the seed search anchors on a '0' glyph (src/check.ts:311),

@@ -126,28 +126,19 @@ def scan_batches(batches: Iterator[pd.DataFrame],
 def byte_weighted_partitions(df: DataFrame, bytes_col: str = "image",
                              target_bytes: int = 64 << 20) -> int:
     """Partition count sized by total payload bytes, not row count — the
-    skew axis for media tables is bytes/row (SURVEY §4).  One cheap agg
-    job; at 100 TB this statistic comes from table metadata instead.
+    skew axis for media tables is bytes/row (SURVEY §4).  Fast path:
+    sum of part-file sizes from the distributed manifest (media bytes
+    dominate a media table and are stored pre-encoded/incompressible,
+    so file size ≈ payload size); executors stat, the driver never
+    loops over files.  Fallback for non-file sources: one column-length
+    agg.  At 100 TB this statistic comes from table metadata instead.
     Floored at the cluster's default parallelism so small inputs still
     use every core (the byte count dominates once input >> cluster)."""
     total = 0
-    try:
-        # metadata fast path: sum the column's uncompressed size from
-        # parquet footers — no data read at all
-        import pyarrow.parquet as papq
-        files = df.inputFiles()
-        if files:
-            for f in files:
-                path = f.replace("file:", "")
-                meta = papq.ParquetFile(path).metadata
-                for rg in range(meta.num_row_groups):
-                    g = meta.row_group(rg)
-                    for ci in range(g.num_columns):
-                        col = g.column(ci)
-                        if col.path_in_schema == bytes_col:
-                            total += col.total_uncompressed_size
-    except Exception:  # noqa: BLE001 — non-parquet / remote source
-        total = 0
+    manifest = media_manifest(df)
+    if manifest is not None:
+        total = (manifest.agg(F.sum("size").alias("s")).first()["s"]
+                 or 0)
     if total == 0:
         total = df.select(F.sum(F.length(F.col(bytes_col)))).first()[0] or 0
     floor = df.sparkSession.sparkContext.defaultParallelism

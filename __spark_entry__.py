@@ -735,6 +735,86 @@ def _cos_e4_to_seeds(w, ws):
     return np.floor(num / den * 10000 + 0.5).astype(np.int64)
 
 
+_BOILER_N_DOCS = 200
+_BOILER_DF_FRAC = 0.5   # span text in ≥50% of docs = template/boilerplate
+
+
+def _webdocs_path() -> str:
+    """Deterministic interleaved web-document corpus for the
+    main-content-extraction op (north rule: boilerplate strip): every
+    page carries template header/footer/nav spans plus unique prose
+    spans, mirroring real crawled pages where chrome repeats across a
+    site and content does not.  Built once, cached next to the other
+    fixtures (seed 7); schema = the input_hint span table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
+    path = os.path.join(FIXTURE_ROOT, "webdocs_v1.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(7)
+    words = ("market report quarterly revenue growth product launch "
+             "analysis summary update regional forecast outlook "
+             "margin segment detail commentary risk").split()
+    boiler_head = "ACME CORP INVESTOR RELATIONS HOME NEWS CONTACT"
+    boiler_foot = "copyright acme corp all rights reserved privacy terms"
+    boiler_nav = "subscribe to our newsletter follow us"
+    doc_ids, spans_col = [], []
+    for i in range(_BOILER_N_DOCS):
+        spans = [{"kind": "text", "text": boiler_head,
+                  "media_ref": "", "offset": 0}]
+        off = 1
+        for _ in range(int(rng.integers(3, 9))):
+            t = " ".join(rng.choice(words, int(rng.integers(4, 9))))
+            spans.append({"kind": "text", "text": t,
+                          "media_ref": "", "offset": off})
+            off += 1
+        if i % 3 != 0:  # nav block on 2/3 of pages — still boilerplate
+            spans.append({"kind": "text", "text": boiler_nav,
+                          "media_ref": "", "offset": off})
+            off += 1
+        spans.append({"kind": "text", "text": boiler_foot,
+                      "media_ref": "", "offset": off})
+        doc_ids.append(f"web-{i:05d}")
+        spans_col.append(spans)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": doc_ids,
+                             "spans": pa.array(spans_col,
+                                               type=pa.list_(span_t))}),
+                   tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over the interleaved span table (north
+    rule: HTML boilerplate strip re-expressed relationally): a span
+    text occurring in ≥50% of documents is site chrome (headers,
+    footers, nav — the line-frequency heuristic of CCNet/boilerpipe at
+    exact-match granularity); those spans are dropped and the survivors
+    renumbered per document.  Scale shape: the document-frequency agg
+    shuffles only (text, doc_id) pairs, the boilerplate set is tiny so
+    the anti-join broadcasts, and no UDF is involved — pure Catalyst."""
+    docs = spark.read.parquet(_webdocs_path())
+    s = (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+         .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+    counts = (s.groupBy("text")
+              .agg(F.count_distinct("doc_id").alias("df")))
+    boiler = counts.filter(
+        F.col("df") >= int(_BOILER_DF_FRAC * _BOILER_N_DOCS))
+    kept = s.join(boiler.select("text"), "text", "anti")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (kept.withColumn("order",
+                            (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "kind", "text", "media_ref", "order"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN — the second scale path next to LSH: every vector
     is assigned to its nearest of _IVF_K coarse centroids (one
@@ -947,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "boilerplate_strip": q_boilerplate_strip,
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
     }
@@ -1407,6 +1488,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "ann_lsh_buckets": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "boilerplate_strip": f"""
+            WITH s AS (
+              SELECT doc_id, unnest(spans, recursive:=true)
+              FROM read_parquet('{_webdocs_path()}')),
+            boiler AS (
+              SELECT text FROM s GROUP BY text
+              HAVING count(DISTINCT doc_id)
+                     >= {int(_BOILER_DF_FRAC * _BOILER_N_DOCS)})
+            SELECT doc_id, kind, text, media_ref,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY "offset") - 1 AS BIGINT) AS "order"
+            FROM s WHERE text NOT IN (SELECT text FROM boiler)
+        """,
         "embedding_near_dup": _near_dup_oracle(),
         "media_metadata": f"""
             SELECT media_ref, format, width, height,

@@ -200,3 +200,17 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     rows2 = run_dedup_drain(spark, str(ingest), ckpt,
                             max_files_per_trigger=1)
     assert sorted(r["doc_id"] for r in rows2) == [7]
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Main-content extraction: template header/footer/nav spans (>=50%
+    document frequency) are stripped, unique prose survives with a
+    dense renumbering."""
+    out = m.q_boilerplate_strip(spark, "").toPandas()
+    texts = set(out["text"])
+    assert "ACME CORP INVESTOR RELATIONS HOME NEWS CONTACT" not in texts
+    assert not any("all rights reserved" in t for t in texts)
+    assert not any("subscribe to our newsletter" in t for t in texts)
+    assert len(out) > 0
+    one = out[out.doc_id == "web-00000"].sort_values("order")
+    assert list(one["order"]) == list(range(len(one)))

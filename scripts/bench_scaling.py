@@ -96,6 +96,37 @@ def main() -> None:
     settle = int(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "20"))
     t_start = time.strftime("%Y-%m-%d %H:%M:%S")
 
+    # verify span equality on THIS corpus before timing anything — the
+    # report's correctness claim must be a measurement, not a template
+    verify_code = f"""
+import os, sys
+sys.path.insert(0, {REPO!r})
+from fin_ocr_sdk_spark.session import get_spark
+from fin_ocr_sdk_spark.plans.pipeline import extract_spans
+spark = get_spark("scaling-verify", master="local[{os.cpu_count()}]")
+spark.sparkContext.setLogLevel("ERROR")
+d = {bench_dir!r}
+docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+media = spark.read.parquet(os.path.join(d, "media.parquet"))
+cols = ["doc_id", "kind", "text", "media_ref", "order"]
+out = extract_spans(docs, media).select(cols)
+exp = spark.read.parquet(os.path.join(d, "expected_spans.parquet")).select(cols)
+err = out.filter(out.kind == "micr:error").count()
+mm = out.exceptAll(exp).count() + exp.exceptAll(out).count()
+print("VERIFY " + str(mm) + " " + str(err))
+"""
+    vout = subprocess.run([sys.executable, "-c", verify_code],
+                          capture_output=True, text=True, check=True,
+                          cwd=REPO)
+    mismatch, n_err = -1, -1
+    for line in vout.stdout.splitlines():
+        if line.startswith("VERIFY "):
+            mismatch, n_err = map(int, line.split()[1:3])
+    assert mismatch == 0 and n_err == 0, (
+        f"span verification failed: {mismatch} mismatched rows, "
+        f"{n_err} micr:error rows — fix correctness before benching")
+    time.sleep(settle)
+
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
     # `reps` fresh JVMs per level, INTERLEAVED (N, 4N, N, 4N, ...) and
@@ -148,7 +179,9 @@ instruction, plus a kernel-level control at the same two levels.
 Measured {t_start} on a {os.cpu_count()}-core single-socket host,
 synthetic check corpus seed 42, {n_docs} interleaved documents (one
 check image each), output verified span-for-span against the golden
-table (100% span equality, zero micr:error rows).  Protocol: per level,
+table in this same run ({mismatch} mismatched rows of the full output,
+{n_err} micr:error rows — the script aborts unless both are zero).
+Protocol: per level,
 best wall time of {reps} fresh JVMs (warm-up on a subset of media part
 files inside each), with the two levels' repetitions INTERLEAVED so
 host-load drift hits both equally; kernel control best-of-2 — this

@@ -41,6 +41,24 @@ class ScanResult:
     char_choices: list = field(default_factory=list)
 
 
+def _mask_angle(mask: np.ndarray) -> float:
+    """Min-area-rect angle of one component mask with the V1 correction
+    (src/contour.ts:130-141).  Hull of a filled region == hull of its
+    per-row x extremes: feed O(rows) points into the calipers instead
+    of O(pixels)."""
+    rows = np.nonzero(mask.any(axis=1))[0]
+    if len(rows) == 0:
+        return 0.0
+    first = np.argmax(mask[rows], axis=1)
+    last = mask.shape[1] - 1 - np.argmax(mask[rows, ::-1], axis=1)
+    pts = np.concatenate([
+        np.column_stack([first, rows]),
+        np.column_stack([last, rows]),
+    ]).astype(float)
+    mw, mh, ang = K.min_area_rect(pts)
+    return K.skew_angle_from_rect(mw, mh, ang)
+
+
 def _refine_skew_candidate(gray: np.ndarray,
                            rect_small: tuple[int, int, int, int],
                            ds: int):
@@ -106,14 +124,23 @@ def skew_angle(gray: np.ndarray, downscale: int = 2) -> float:
         # its pixel count halves non-uniformly), so the strided pass
         # only SHORTLISTS candidates; each is re-measured on a full-res
         # crop that reproduces the whole detection pipeline (blur →
-        # Otsu → 25x1 dilate → component select), and the winner is
-        # re-picked by the FULL-RES fit ratio.  Selecting on half-res
-        # ratios picked the wrong bar on ~0.5% of ±3° fixtures, and
-        # re-thresholding the crop without dilation+component-select
-        # let neighboring lines bend the angle — both split on-us
-        # symbols downstream.
-        refined = []
-        for _, cand in eligible[:6]:
+        # Otsu → 25x1 dilate → component select).
+        #
+        # Documented deviation from the reference's single
+        # min-fit-ratio pick (image.ts:650-664): the estimate is the
+        # WIDTH-WEIGHTED MEDIAN of the candidates' angles.  Every text
+        # bar on the page shares the global rotation, so the candidates
+        # form a consensus; the failure cases are a minority of
+        # degenerate bars — short bars whose min-area rect stays
+        # axis-aligned (a 3° skew drops 8px over a 158px bar, inside
+        # glyph noise → reports 0°) and dilate-merged neighbor lines —
+        # which a single most-rectangular pick follows ~0.8% of the
+        # time on ±3° fixtures, splitting on-us symbols downstream.
+        # Width-weighting gives long bars (best angle resolution)
+        # proportional vote, and on clean pages all angles agree so the
+        # result is identical to the reference's.
+        votes = []
+        for _, cand in eligible[:8]:
             fr = _refine_skew_candidate(gray, cand.rect, ds)
             if fr is None:
                 continue
@@ -126,42 +153,18 @@ def skew_angle(gray: np.ndarray, downscale: int = 2) -> float:
             # every line is thin
             if not (rw > 120 and rh < 100):
                 continue
-            ratio = fr.area / fr.area2 if fr.area2 else float("inf")
-            refined.append((ratio, rw, fr))
-        if not refined:
+            votes.append((_mask_angle(fr.mask()), rw))
+        if not votes:
             return 0.0
-        # Documented deviation from the reference's pure min-fit-ratio
-        # pick (image.ts:650-664): a bar's angle resolution is ∝ 1/width
-        # (a 3° skew drops 8px over a 158px header bar — inside the
-        # glyph-envelope noise, so its min-area rect stays axis-aligned
-        # and reports 0°), so the final pick considers only candidates
-        # at least half as wide as the widest refined bar.  On clean
-        # images the MICR/address lines win the fit ratio anyway; this
-        # only changes images where a short lucky-rectangular bar would
-        # out-rank every long bar and zero out the estimate.
-        wmax = max(rw for _, rw, _ in refined)
-        best_ratio, best_region = None, None
-        for ratio, rw, fr in refined:
-            if rw * 2 < wmax:
-                continue
-            if best_ratio is None or ratio < best_ratio:
-                best_ratio, best_region = ratio, fr
-        mask = best_region.mask()
-    else:
-        mask = eligible[0][1].mask()
-    # hull of a filled region == hull of its per-row x extremes: feed
-    # O(rows) points into the calipers instead of O(pixels)
-    rows = np.nonzero(mask.any(axis=1))[0]
-    if len(rows) == 0:
-        return 0.0
-    first = np.argmax(mask[rows], axis=1)
-    last = mask.shape[1] - 1 - np.argmax(mask[rows, ::-1], axis=1)
-    pts = np.concatenate([
-        np.column_stack([first, rows]),
-        np.column_stack([last, rows]),
-    ]).astype(float)
-    mw, mh, ang = K.min_area_rect(pts)
-    return K.skew_angle_from_rect(mw, mh, ang)
+        votes.sort()
+        half = sum(rw for _, rw in votes) / 2.0
+        acc = 0
+        for ang, rw in votes:
+            acc += rw
+            if acc >= half:
+                return ang
+        return votes[-1][0]
+    return _mask_angle(eligible[0][1].mask())
 
 
 def get_micr_band(gray: np.ndarray, cfg: Config = _DEFAULT_CFG,

@@ -71,7 +71,7 @@ def test_skew_recovery():
 # dilation+component-select, and the full-res height floor rejecting
 # thin local-Otsu bars — each index failed for one of those reasons
 _SKEW_REGRESSION_DOCS = (173, 369, 389, 496, 551, 1281, 1398, 1693,
-                         1731, 1924, 2074, 2311, 2434)
+                         1731, 1924, 2074, 2311, 2434, 3698, 19459)
 
 
 @pytest.mark.parametrize("i", _SKEW_REGRESSION_DOCS)

@@ -12,6 +12,10 @@ images paired with ``<name>.ct`` files holding ``value:numContours``.
 On Spark the dir is loaded ONCE per executor at template-pack init
 (plans.scan.get_default_templates) and folded into the broadcast
 TemplateSet — the init-once translator pattern of src/ocr.ts:44-56.
+Local mode inherits ``OCR_CORRECTIONS_DIR`` from the driver process;
+on a real cluster set it per executor
+(``spark.executorEnv.OCR_CORRECTIONS_DIR``) and point it at a path all
+executors can read (the corrections dir on shared storage).
 Writes are tmp+atomic-rename (.ct last, so a half-written pair is
 never loaded), making concurrent executor writers safe on any
 rename-atomic store.

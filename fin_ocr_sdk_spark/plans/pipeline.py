@@ -222,8 +222,11 @@ def media_manifest(media: DataFrame) -> DataFrame | None:
     media plan lists only files worth scanning).  On Iceberg this is
     the snapshot's manifest read as a table.  Paths are canonical local
     (``file:`` URI prefix stripped).  Returns None when media is not
-    file-backed (in-memory relations, derived columns — ``_metadata``
-    does not survive a Project)."""
+    file-backed (in-memory relations).  ``_metadata`` DOES propagate
+    through Projects, so derived-column plans still list their backing
+    files — whether those files' BYTES match the plan's rows is the
+    strategy layer's question (:func:`_is_filter_over_file_scan`), not
+    the manifest's."""
     try:
         return (media.select(
             F.regexp_replace(F.col("_metadata.file_path"),

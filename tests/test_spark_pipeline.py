@@ -230,3 +230,35 @@ def test_entry_contract(spark):
     oracles = m.oracle_sql()
     assert set(oracles).issubset(set(qs))
     assert len(qs) >= 20
+
+
+def test_media_manifest_shape(spark, smoke_dir):
+    """media_manifest: canonical local paths (no file: URI), one row
+    per part file with its size from the engine's listing; None for
+    non-file-backed plans (derived columns project _metadata away)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from fin_ocr_sdk_spark.plans.pipeline import media_manifest
+
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    man = media_manifest(media).toPandas()
+    assert len(man) == 16  # one smoke part file per doc
+    assert man["path"].str.startswith("/").all()
+    assert not man["path"].str.contains("file:").any()
+    sizes = {os.path.basename(p): os.path.getsize(p) for p in man["path"]}
+    assert all(s > 0 for s in sizes.values())
+    assert (man.set_index(man["path"].map(os.path.basename))["size"]
+            .to_dict() == sizes)
+    # filtered plan: only files with surviving rows are listed
+    lite = media.filter(F.col("media_ref") < "img-00000002")
+    assert len(media_manifest(lite).toPandas()) == 2
+    # derived columns: _metadata propagates through the Project, so the
+    # BACKING files still list (the strategy layer, not the manifest,
+    # is what blocks direct reads of derived plans)
+    derived = media.select(F.col("media_ref"),
+                           F.base64("image").alias("payload"))
+    assert len(media_manifest(derived).toPandas()) == 16
+    # in-memory relation: no _metadata -> None
+    inmem = spark.createDataFrame([("x", b"y")], "media_ref string, image binary")
+    assert media_manifest(inmem) is None

@@ -352,13 +352,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("keep_doc_id", "n_dups"))
 
 
+_BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char stats per document."""
+    """Token counting two ways per document: whitespace split and a
+    BPE-ish pre-tokenizer regex (letter runs | single digits |
+    punctuation — the GPT-2-family split shape), plus char stats.
+    Both engines run the same pattern (simple class, identical in Java
+    regex and RE2)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), "\\s+")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_TOKEN_RE),
+                                    F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
         (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
         .cast("long").alias("n_spaces"),
@@ -955,6 +965,53 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b", "cosine_e4"))
 
 
+_THUMB_MAX_DIM = 64
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: decode each opaque binary image,
+    INTER_AREA-resize to fit a 64px box preserving aspect ratio, and
+    emit the ACTUAL array dimensions produced.  The DuckDB twin derives
+    the expected dimensions from the fixture's compose-time golden
+    width/height with the identical floor(x+0.5) arithmetic — a decoder
+    or resampler that produces the wrong raster shape fails the hash.
+    (Pixel-level resize math is golden-tested in test_kernels; no SQL
+    engine can decode PNGs to check pixels.)"""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("media_ref", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ])
+
+    def thumbs(it):
+        import numpy as np
+
+        from fin_ocr_sdk_spark.operators import kernels as K
+        from fin_ocr_sdk_spark.sources import codecs
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in ("media_ref", "out_w", "out_h")}
+            for ref, fmt, img in zip(pdf["media_ref"], pdf["format"],
+                                     pdf["image"]):
+                arr = codecs.decode_image(bytes(img), fmt)
+                h, w = arr.shape
+                scale = _THUMB_MAX_DIM / max(w, h)
+                ow = int(np.floor(w * scale + 0.5))
+                oh = int(np.floor(h * scale + 0.5))
+                out = K.resize_area(arr, (ow, oh))
+                rows["media_ref"].append(ref)
+                rows["out_w"].append(out.shape[1])
+                rows["out_h"].append(out.shape[0])
+            yield pd.DataFrame(rows)
+
+    media = _fxdf(spark, "media").select("media_ref", "format", "image")
+    return media.mapInPandas(thumbs, schema)
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata over opaque binary media —
     dimensions DECODED from the bytes inside a vectorized UDF, then
@@ -1028,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
         "boilerplate_strip": q_boilerplate_strip,
+        "media_resize": q_media_resize,
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
     }
@@ -1400,9 +1458,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY sha256(text) HAVING count(*) >= 1
         """,
-        "token_count": """
+        "token_count": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))
+                       AS n_bpe_tokens,
                    length(text) AS n_chars_actual,
                    length(text) - length(replace(text, ' ', '')) AS n_spaces
             FROM documents
@@ -1502,6 +1562,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE text NOT IN (SELECT text FROM boiler)
         """,
         "embedding_near_dup": _near_dup_oracle(),
+        "media_resize": f"""
+            SELECT media_ref,
+                   CAST(floor(width * ({_THUMB_MAX_DIM}.0
+                        / greatest(width, height)) + 0.5) AS INTEGER)
+                       AS out_w,
+                   CAST(floor(height * ({_THUMB_MAX_DIM}.0
+                        / greatest(width, height)) + 0.5) AS INTEGER)
+                       AS out_h
+            FROM read_parquet('{fx("media")}/*.parquet')
+        """,
         "media_metadata": f"""
             SELECT media_ref, format, width, height,
                    CAST(octet_length(image) AS INTEGER) AS n_bytes

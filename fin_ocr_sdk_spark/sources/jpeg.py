@@ -145,7 +145,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 92) -> bytes:
     blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
               .transpose(0, 2, 1, 3)
               .reshape(-1, 8, 8).astype(np.float64) - 128.0)
-    coef = np.einsum("ij,njk,lk->nil", _DCT_T, blocks, _DCT_T)
+    # D @ B @ D.T as two batched matmuls: einsum's 3-operand path is
+    # interpreted (no BLAS) and measured ~50x slower on 10k+ blocks
+    coef = _DCT_T @ blocks @ _DCT_T.T
     q = np.round(coef / quant).astype(np.int32)
     zz = q.reshape(-1, 64)[:, _ZIGZAG]  # (n_blocks, 64) zigzag order
 
@@ -401,28 +403,32 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     luma_blocks = np.zeros((n_mcus * lh * lv, 64), dtype=np.float64)
     lb = 0
 
+    # scan plan hoisted out of the MCU loop: (tables, per-MCU block
+    # count, luma?) per component, preds as a list — the dict lookups
+    # and per-MCU re-derivation measurably dominate at 10k+ MCUs
+    plan = [(huff_dc[dc_id], huff_ac[ac_id], comp["h"] * comp["v"],
+             comp is luma_comp) for comp, dc_id, ac_id in scan]
+    zigzag = _ZIGZAG
     reader = _BitReader(segments[0])
+    rdecode, rget = reader.decode, reader.get
     seg_idx = 0
-    preds = {id(c): 0 for c, _, _ in scan}
+    preds = [0] * len(plan)
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_idx += 1
             reader = _BitReader(segments[seg_idx])
-            for c, _, _ in scan:
-                preds[id(c)] = 0
-        for comp, dc_id, ac_id in scan:
-            dct = huff_dc[dc_id]
-            act = huff_ac[ac_id]
-            is_luma = comp is luma_comp
-            for _ in range(comp["h"] * comp["v"]):
-                size = reader.decode(dct)
-                diff = _extend(reader.get(size), size) if size else 0
-                preds[id(comp)] += diff
+            rdecode, rget = reader.decode, reader.get
+            preds = [0] * len(plan)
+        for si, (dct, act, nblocks, is_luma) in enumerate(plan):
+            for _ in range(nblocks):
+                size = rdecode(dct)
+                diff = _extend(rget(size), size) if size else 0
+                preds[si] += diff
                 if is_luma:
-                    luma_blocks[lb, 0] = preds[id(comp)]
+                    luma_blocks[lb, 0] = preds[si]
                 k = 1
                 while k < 64:
-                    rs = reader.decode(act)
+                    rs = rdecode(act)
                     r, s = rs >> 4, rs & 0xF
                     if s == 0:
                         if r == 15:
@@ -430,29 +436,27 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
                             continue
                         break  # EOB
                     k += r
-                    v = _extend(reader.get(s), s)
+                    v = _extend(rget(s), s)
                     if is_luma and k < 64:
-                        luma_blocks[lb, _ZIGZAG[k]] = v
+                        luma_blocks[lb, zigzag[k]] = v
                     k += 1
                 if is_luma:
                     lb += 1
 
     # dequantize + IDCT, vectorized over all luma blocks
     coef = (luma_blocks * luma_quant).reshape(-1, 8, 8)
-    spatial = np.einsum("ji,njk,kl->nil", _DCT_T, coef, _DCT_T)
+    # D.T @ C @ D as two batched matmuls (see encode_jpeg: einsum's
+    # 3-operand path is interpreted and dominated the whole decode)
+    spatial = _DCT_T.T @ coef @ _DCT_T
     pix = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
 
-    # reassemble luma plane from MCU-ordered blocks
+    # reassemble luma plane from MCU-ordered blocks: block b sits at
+    # MCU (my, mx), sub-block (by, bx) — one transpose instead of a
+    # python loop over every block
     plane_w, plane_h = mcus_x * lh * 8, mcus_y * lv * 8
-    plane = np.zeros((plane_h, plane_w), dtype=np.uint8)
-    b = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for by in range(lv):
-                for bx in range(lh):
-                    y0, x0 = (my * lv + by) * 8, (mx * lh + bx) * 8
-                    plane[y0:y0 + 8, x0:x0 + 8] = pix[b]
-                    b += 1
+    plane = (pix.reshape(mcus_y, mcus_x, lv, lh, 8, 8)
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(plane_h, plane_w))
     # luma plane covers ceil(w*h/hmax/vmax) scaled dims; crop to frame
     out_h = frame["h"] * lv // vmax
     out_w = frame["w"] * lh // hmax

@@ -205,35 +205,47 @@ def encode_jpeg(img: np.ndarray, quality: int = 92) -> bytes:
 # --------------------------------------------------------------- decoder
 
 class _HuffTable:
-    """Canonical decode arrays + an 8-bit prefix fast path."""
+    """Full 16-bit-prefix decode LUT: any canonical code (≤16 bits,
+    ITU-T.81 C.2) resolves with one list index — no per-length scan.
+    65,536 entries are filled per table with vectorized numpy slices
+    (a few hundred µs), then kept as plain python lists because scalar
+    list indexing beats ndarray indexing in the per-symbol loop.
+    Length 0 marks an invalid prefix."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.maxcode = [-1] * 17
-        self.mincode = [0] * 17
-        self.valptr = [0] * 17
-        self.vals = vals
+        sym = np.zeros(1 << 16, dtype=np.int16)
+        ln = np.zeros(1 << 16, dtype=np.int16)
         code = 0
         k = 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
-            code <<= 1
-        # fast path: 8-bit prefix -> (symbol, length) for codes <= 8 bits
-        self.lut: list[tuple[int, int] | None] = [None] * 256
-        code = 0
-        k = 0
-        for length in range(1, 9):
             for _ in range(bits[length - 1]):
-                prefix = code << (8 - length)
-                for f in range(1 << (8 - length)):
-                    self.lut[prefix | f] = (vals[k], length)
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                sym[start:start + span] = vals[k]
+                ln[start:start + span] = length
                 code += 1
                 k += 1
             code <<= 1
+        self.sym16 = sym.tolist()
+        self.len16 = ln.tolist()
+
+
+_TABLE_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Memoized table build: the 65,536-entry LUT costs ~1 ms and a
+    corpus's images overwhelmingly share their DHT segments (every
+    image from one encoder does), so per-process caching amortizes it
+    to zero.  Bounded: distinct tables are tiny in practice; cap guards
+    an adversarial stream of unique tables."""
+    key = (tuple(bits), tuple(vals))
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        if len(_TABLE_CACHE) >= 64:
+            _TABLE_CACHE.clear()
+        t = _TABLE_CACHE[key] = _HuffTable(bits, vals)
+    return t
 
 
 class _BitReader:
@@ -268,18 +280,13 @@ class _BitReader:
         return v
 
     def decode(self, table: _HuffTable) -> int:
-        fast = table.lut[self.peek(8)]
-        if fast is not None:
-            self.skip(fast[1])
-            return fast[0]
         code = self.peek(16)
-        for length in range(9, 17):
-            c = code >> (16 - length)
-            if table.maxcode[length] >= c >= table.mincode[length]:
-                self.skip(length)
-                return table.vals[table.valptr[length] +
-                                  c - table.mincode[length]]
-        raise ValueError("bad Huffman code")
+        length = table.len16[code]
+        if not length:
+            raise ValueError("bad Huffman code")
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return table.sym16[code]
 
 
 def _extend(v: int, size: int) -> int:
@@ -340,7 +347,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17:p + 17 + n])
-                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = _huff_table(bits,
+                                                               vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])

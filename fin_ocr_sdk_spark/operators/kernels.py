@@ -36,7 +36,13 @@ import numpy as np
 
 
 def grayscale(img: np.ndarray) -> np.ndarray:
-    """BGR/RGB -> gray (ITU-R BT.601 weights); no-op if already 2-D."""
+    """RGB -> gray (ITU-R BT.601 weights, RGB channel order); no-op if
+    already 2-D.  The reference converts with cv.COLOR_BGR2GRAY
+    (src/image.ts:238-247) because OpenCV decodes to BGR; every decoder
+    in this repo (sources/codecs.py, jpeg.py, gif.py) emits grayscale or
+    RGB-ordered arrays, so the weights here are RGB-matched — same
+    luminance result as the reference, channel order per OUR decoders.
+    Feeding a BGR array here would swap the R/B weights; don't."""
     if img.ndim == 2:
         return img
     w = np.array([0.299, 0.587, 0.114])

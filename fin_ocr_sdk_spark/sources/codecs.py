@@ -318,10 +318,12 @@ def decode_image(data: "bytes | str", fmt: str | None = None) -> np.ndarray:
             return decode_gif(data)
     except ValueError:
         raise
-    except Exception as e:
-        # Truncated/corrupt streams surface as IndexError/struct.error/
-        # zlib.error from the raw decoders.  One bad image in a media
-        # table must become a micr:error row, not a failed Spark task,
-        # so decode_image's failure contract is ValueError only.
+    except (IndexError, KeyError, EOFError, struct.error, zlib.error) as e:
+        # Truncated/corrupt streams surface as these from the raw
+        # decoders.  One bad image in a media table must become a
+        # micr:error row, not a failed Spark task, so decode_image's
+        # failure contract is ValueError only.  Anything else
+        # (MemoryError, genuine bugs) propagates — masking it as
+        # "corrupt stream" would hide real defects as bad input.
         raise ValueError(f"corrupt {fmt} stream: {type(e).__name__}: {e}")
     raise ValueError(f"unknown image format '{fmt}'")

@@ -40,19 +40,30 @@ STATE_SCHEMA = StructType([
 ])
 
 
+#: digest sentinel for NULL text.  The Spark-side group key
+#: ``sha2(NULL, 256)`` is NULL, so every NULL-text row lands in the one
+#: NULL-keyed group; hashing ``str(None)`` instead would collide with a
+#: document whose text is literally "None" while living in a different
+#: group (a dedup miss both ways).
+_NULL_DIGEST = "<null>"
+
+
 def _dedup_group(key, pdfs, state):
     import pandas as pd
     seen = set(state.get[0]) if state.exists else set()
+    # applyInPandasWithState may deliver one group's micro-batch as
+    # MULTIPLE chunks; "lowest doc_id wins inside a batch" only holds if
+    # all chunks are accumulated before the single sort.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     out_ids: list[int] = []
     out_digests: list[str] = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        # lowest doc_id wins inside a batch: deterministic under
-        # task-order nondeterminism within the micro-batch
-        for doc_id, text in sorted(zip(pdf["doc_id"], pdf["text"]),
-                                   key=lambda t: t[0]):
-            digest = hashlib.sha256(str(text).encode()).hexdigest()
+    if chunks:
+        rows = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        for doc_id, text in zip(rows["doc_id"], rows["text"]):
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                digest = _NULL_DIGEST
+            else:
+                digest = hashlib.sha256(text.encode()).hexdigest()
             if digest in seen:
                 continue
             seen.add(digest)

@@ -16,6 +16,17 @@ def test_grayscale_noop_and_weights():
     assert abs(int(out[0, 0]) - round(0.299 * 100)) <= 1
 
 
+def test_grayscale_channel_order_is_rgb():
+    """Pin RGB channel order: pure red gets the 0.299 weight and pure
+    blue the 0.114 weight — a BGR input would swap these."""
+    red = np.zeros((1, 1, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    blue = np.zeros((1, 1, 3), dtype=np.uint8)
+    blue[..., 2] = 255
+    assert int(K.grayscale(red)[0, 0]) == round(0.299 * 255)   # 76
+    assert int(K.grayscale(blue)[0, 0]) == round(0.114 * 255)  # 29
+
+
 def test_bitwise_not():
     img = np.array([[0, 255, 128]], dtype=np.uint8)
     assert (K.bitwise_not(img) == [[255, 0, 127]]).all()

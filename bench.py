@@ -17,8 +17,10 @@ self-explaining.  Span equality vs the golden table is asserted on the
 first repetition of each variant (the output is deterministic).
 
 The remaining headline queries exercise the relational/training-data
-operators on the driver's parquet tables in one shared warm session
-(their second-scale timings only need coarse comparability).
+operators on the driver's parquet tables in one shared session, each
+timed best-of-2 so the first repetition warms exactly the paths the
+query hits (warm parity across rounds — see BENCH/BASELINE.md for the
+locked per-query baseline numbers future rounds diff against).
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 scripts/bench_scaling.py → BENCH/BASELINE.md; this file stays a
@@ -155,25 +157,32 @@ def main() -> None:
     docs_per_sec = n_docs / best["lossless"]["sec"]
 
     # -- headline relational / training-data queries -------------------
-    # warm the main session first (JVM stages, parquet reader, python
-    # workers): the flagship now runs in subprocesses, so without this
-    # the first headline query would absorb all cold-start cost and
-    # its number would not be comparable across rounds
+    # Warm-parity protocol (locked in BENCH/BASELINE.md): each query is
+    # timed best-of-2 IN-SESSION — its own first repetition warms
+    # exactly the join/agg/shuffle/codegen paths it hits, so no guessed
+    # pre-warm can miss a path (round 3 warmed only token_count's path
+    # and pricing_summary's first-ever join absorbed all JVM cold-start,
+    # a 5x measurement artifact).  Both reps are reported so a noisy
+    # round is self-explaining; the best is the per-query number that
+    # BENCH/BASELINE.md locks and future rounds diff against.
     from pyspark.sql import functions as F
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    queries_warm = entrymod.queries()
-    queries_warm["token_count"](spark, SF_DIR).count()
 
     qs = entrymod.queries()
+    query_runs: dict[str, list] = {}
     for name in ("pricing_summary", "top_orders_per_customer",
                  "dedup_exact", "minhash_dedup", "simhash",
                  "ann_cosine_topk", "token_count", "text_quality",
                  "lang_id", "doc_fingerprint",
                  "char_best_choice", "line_value_score"):
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            times.append(round(time.time() - t0, 3))
+        query_runs[name] = times
+        queries[name] = min(times)
 
     total = round(sum(queries.values()), 3)
     steal1, total1 = _cpu_times()
@@ -192,6 +201,10 @@ def main() -> None:
         "flagship_protocol":
             f"best-of-{reps} fresh JVMs per variant, variants "
             "interleaved, warm-up subset inside each JVM",
+        "relational_protocol":
+            "best-of-2 per query in one shared session; rep 1 warms "
+            "each query's own paths (warm parity across rounds)",
+        "query_runs_sec": query_runs,
         "flagship_runs_sec": runs,
         "lossy_docs_per_sec": round(n_docs / best["lossy"]["sec"], 2),
         "span_mismatch": span_mismatch,

@@ -74,9 +74,13 @@ def _dedup_group(key, pdfs, state):
 
 
 def dedup_stream(spark: SparkSession, input_dir: str,
-                 max_files_per_trigger: int = 1) -> DataFrame:
+                 max_files_per_trigger: int = 1,
+                 output_mode: str = "update") -> DataFrame:
     """The streaming dedup plan over a parquet ingest dir: group by the
-    digest prefix, keep first occurrences via per-group state."""
+    digest prefix, keep first occurrences via per-group state.  Each
+    first occurrence is emitted exactly once, so the operator is valid
+    in both "update" (foreachBatch drains) and "append" (file sinks)
+    output modes."""
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
@@ -84,17 +88,36 @@ def dedup_stream(spark: SparkSession, input_dir: str,
         "k", F.substring(F.sha2(F.col("text"), 256), 1, 4))
     from pyspark.sql.streaming.state import GroupStateTimeout
     return keyed.groupBy("k").applyInPandasWithState(
-        _dedup_group, OUT_SCHEMA, STATE_SCHEMA, "update",
+        _dedup_group, OUT_SCHEMA, STATE_SCHEMA, output_mode,
         GroupStateTimeout.NoTimeout)
+
+
+def run_dedup_to_parquet(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         max_files_per_trigger: int = 1) -> None:
+    """Production sink: append the first-occurrence (doc_id, digest)
+    rows to a parquet table — no driver collect, unlike the
+    run_dedup_drain test helper below.  availableNow + checkpoint =
+    incremental batch runs: a rerun over a grown ingest dir processes
+    only new files and keeps already-emitted digests deduplicated."""
+    q = (dedup_stream(spark, input_dir, max_files_per_trigger,
+                      output_mode="append")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
 
 
 def run_dedup_drain(spark: SparkSession, input_dir: str,
                     checkpoint_dir: str,
                     max_files_per_trigger: int = 1) -> list[dict]:
-    """Drain everything currently in `input_dir` through the stateful
-    dedup (availableNow) and return the emitted first-occurrence rows
-    in arrival order.  The checkpoint dir makes a second invocation
-    resume the state: documents already emitted in a previous run stay
+    """Test/drain helper (collects every emitted row to the driver —
+    use run_dedup_to_parquet as the production pattern): drain
+    everything currently in `input_dir` through the stateful dedup
+    (availableNow) and return the emitted first-occurrence rows in
+    arrival order.  The checkpoint dir makes a second invocation resume
+    the state: documents already emitted in a previous run stay
     deduplicated."""
     rows: list[dict] = []
 

@@ -117,3 +117,27 @@ def test_debug_category_predicate():
     assert debug_requested(["*"], "anything") is True
     assert debug_requested(["images", "timing"], "timing") is True
     assert debug_requested(["images"], "timing") is False
+
+
+def test_x9_fixture_variants_compose_and_parse():
+    """The X9-shaped fixture's four field shapes (plain, aux serial,
+    embedded-space + zero-padded check, zero-padded aux without '/')
+    compose and parse to the relational derivation the x9_to_micr
+    oracle twin uses (src/checkUtil.ts:38-45 + 49-133)."""
+    cases = [
+        # (routing8, cd, on_us, aux) -> (routing, account, check)
+        (("12345678", "1", "987654/321", ""),
+         ("123456781", "987654", "321")),
+        (("12345678", "1", "987654/321", "5555"),
+         ("123456781", "987654", "5555")),   # aux wins the check field
+        (("12345678", "1", "987 654/00321", ""),
+         ("123456781", "987654", "321")),    # space strip + zero strip
+        (("12345678", "1", "987654", "0042"),
+         ("123456781", "987654", "42")),     # no '/', zero-padded aux
+    ]
+    from fin_ocr_sdk_spark.functions.micr import parse_micr
+    for (r, cd, onus, aux), (er, ea, ec) in cases:
+        info = parse_micr(x9_to_micr(r, cd, onus, aux))
+        assert info.routing_number == er
+        assert info.account_number == ea
+        assert info.check_number == ec

@@ -27,8 +27,14 @@ _B_VEC = np.array(MINHASH_B, dtype=np.int64)
 
 def poly_hashes(strs: list, mults) -> np.ndarray:
     """(len(strs), len(mults)) int64 matrix of h_m(s) = fold over code
-    points of (acc*m + cp) % P — one vectorized Horner pass over char
-    positions."""
+    points of (acc*m + cp) % P, computed in closed form as
+    sum(cp_j * m^(L-1-j)) % P over the FLAT code-point array: per-char
+    exponents index a tiny m-power table and per-string sums come from
+    one add.reduceat — no (n_strings x max_len) dense matrix (the
+    previous Horner sweep allocated ~60M-element scratch on corpus
+    batches and was memory-bandwidth-bound, ~5x slower).  Every product
+    cp * m^e stays < 2^51 and every per-string sum of (x % P) terms
+    < 2^30 each fits int64, so the arithmetic is exact."""
     n = len(strs)
     m = np.asarray(mults, dtype=np.int64)
     h = np.zeros((n, len(m)), dtype=np.int64)
@@ -40,13 +46,22 @@ def poly_hashes(strs: list, mults) -> np.ndarray:
         return h
     codes = np.frombuffer("".join(strs).encode("utf-32-le"),
                           dtype=np.uint32).astype(np.int64)
-    mat = np.zeros((n, int(lens.max())), dtype=np.int64)
-    row = np.repeat(np.arange(n), lens)
-    col = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-    mat[row, col] = codes
-    for j in range(mat.shape[1]):
-        live = lens > j
-        h[live] = (h[live] * m + mat[live, j, None]) % HASH_P
+    maxlen = int(lens.max())
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of m for each flat char: len_i - 1 - offset_in_string
+    exps = (np.repeat(lens, lens) - 1
+            - (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)))
+    nz = lens > 0
+    starts_nz = starts[nz]
+    for k in range(len(m)):
+        powt = np.empty(maxlen, dtype=np.int64)
+        powt[0] = 1
+        mk = int(m[k])
+        for e in range(1, maxlen):
+            powt[e] = (powt[e - 1] * mk) % HASH_P
+        terms = (codes * powt[exps]) % HASH_P
+        h[nz, k] = np.add.reduceat(terms, starts_nz) % HASH_P
     return h
 
 
@@ -78,8 +93,11 @@ def band_signatures(texts: list) -> "tuple[list[int], np.ndarray]":
     flat = [s for g in grams_per_doc for s in g]
     base = poly_hashes(flat, (31,))[:, 0]               # (G,)
     affine = (base[:, None] * _A_VEC + _B_VEC) % HASH_P  # (G, 16)
-    mhs = np.full((len(keep), MINHASH_N), HASH_P, dtype=np.int64)
-    np.minimum.at(mhs, np.repeat(np.arange(len(keep)), counts), affine)
+    # per-doc minima in one segmented reduce (every kept doc has >=1
+    # shingle, so the reduceat segments are all non-empty); minimum.at
+    # scatter is ~10x slower on corpus batches
+    doc_starts = np.cumsum(counts) - counts
+    mhs = np.minimum.reduceat(affine, doc_starts, axis=0)
     sig = np.zeros((len(keep), MINHASH_BANDS), dtype=np.int64)
     for bi in range(MINHASH_BANDS):
         s = np.zeros(len(keep), dtype=np.int64)

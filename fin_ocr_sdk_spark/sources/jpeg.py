@@ -248,51 +248,6 @@ def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
     return t
 
 
-class _BitReader:
-    """MSB-first reader over entropy data with 0xFF00 unstuffed."""
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def peek(self, n: int) -> int:
-        self._fill(n)
-        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def get(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek(n)
-        self.skip(n)
-        return v
-
-    def decode(self, table: _HuffTable) -> int:
-        code = self.peek(16)
-        length = table.len16[code]
-        if not length:
-            raise ValueError("bad Huffman code")
-        self.nbits -= length
-        self.acc &= (1 << self.nbits) - 1
-        return table.sym16[code]
-
-
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -411,45 +366,91 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     luma_blocks = np.zeros((n_mcus * lh * lv, 64), dtype=np.float64)
     lb = 0
 
-    # scan plan hoisted out of the MCU loop: (tables, per-MCU block
+    # scan plan hoisted out of the MCU loop: (LUT lists, per-MCU block
     # count, luma?) per component, preds as a list — the dict lookups
     # and per-MCU re-derivation measurably dominate at 10k+ MCUs
-    plan = [(huff_dc[dc_id], huff_ac[ac_id], comp["h"] * comp["v"],
-             comp is luma_comp) for comp, dc_id, ac_id in scan]
+    plan = [(huff_dc[dc_id].len16, huff_dc[dc_id].sym16,
+             huff_ac[ac_id].len16, huff_ac[ac_id].sym16,
+             comp["h"] * comp["v"], comp is luma_comp)
+            for comp, dc_id, ac_id in scan]
     zigzag = _ZIGZAG
-    reader = _BitReader(segments[0])
-    rdecode, rget = reader.decode, reader.get
+    # MSB-first bit reader over 0xFF00-unstuffed entropy data, inlined
+    # into locals (acc/nbits/bpos): a method-based reader costs ~45
+    # calls per 8x8 block and profiling shows call overhead, not
+    # arithmetic, bounds the whole decode.  Refills top the accumulator
+    # up to >=32 bits at most once per Huffman symbol; one symbol
+    # consumes <=16 (code) + <=11 (magnitude) = 27 bits, so a single
+    # top-up covers both reads.  Reads past the segment end see zero
+    # bits (truncated-stream behavior unchanged).
+    seg_data = segments[0]
+    seg_n = len(seg_data)
+    bpos = acc = nbits = 0
     seg_idx = 0
     preds = [0] * len(plan)
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            rdecode, rget = reader.decode, reader.get
+            seg_data = segments[seg_idx]
+            seg_n = len(seg_data)
+            bpos = acc = nbits = 0
             preds = [0] * len(plan)
-        for si, (dct, act, nblocks, is_luma) in enumerate(plan):
+        for si, (dc_len, dc_sym, ac_len, ac_sym, nblocks,
+                 is_luma) in enumerate(plan):
+            pred = preds[si]
             for _ in range(nblocks):
-                size = rdecode(dct)
-                diff = _extend(rget(size), size) if size else 0
-                preds[si] += diff
+                if nbits < 27:
+                    while nbits < 32:
+                        acc = ((acc << 8)
+                               | (seg_data[bpos] if bpos < seg_n else 0))
+                        bpos += 1
+                        nbits += 8
+                    acc &= (1 << nbits) - 1
+                code = (acc >> (nbits - 16)) & 0xFFFF
+                length = dc_len[code]
+                if not length:
+                    raise ValueError("bad Huffman code")
+                nbits -= length
+                size = dc_sym[code]
+                if size:
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    pred += (v if v >= (1 << (size - 1))
+                             else v - (1 << size) + 1)
                 if is_luma:
-                    luma_blocks[lb, 0] = preds[si]
+                    luma_blocks[lb, 0] = pred
                 k = 1
                 while k < 64:
-                    rs = rdecode(act)
-                    r, s = rs >> 4, rs & 0xF
+                    if nbits < 27:
+                        while nbits < 32:
+                            acc = ((acc << 8)
+                                   | (seg_data[bpos] if bpos < seg_n
+                                      else 0))
+                            bpos += 1
+                            nbits += 8
+                        acc &= (1 << nbits) - 1
+                    code = (acc >> (nbits - 16)) & 0xFFFF
+                    length = ac_len[code]
+                    if not length:
+                        raise ValueError("bad Huffman code")
+                    nbits -= length
+                    rs = ac_sym[code]
+                    s = rs & 0xF
                     if s == 0:
-                        if r == 15:
+                        if rs == 0xF0:  # ZRL
                             k += 16
                             continue
                         break  # EOB
-                    k += r
-                    v = _extend(rget(s), s)
+                    k += rs >> 4
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
                     if is_luma and k < 64:
-                        luma_blocks[lb, zigzag[k]] = v
+                        luma_blocks[lb, zigzag[k]] = (
+                            v if v >= (1 << (s - 1))
+                            else v - (1 << s) + 1)
                     k += 1
                 if is_luma:
                     lb += 1
+            preds[si] = pred
 
     # dequantize + IDCT, vectorized over all luma blocks
     coef = (luma_blocks * luma_quant).reshape(-1, 8, 8)

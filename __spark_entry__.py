@@ -1127,26 +1127,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in test_lsh_neardup_recall_floor)."""
     bf = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = (q_ann_ivf_topk(spark, sf_dir)
-           .select("query_id", "neighbor_id").withColumn("hit", F.lit(1)))
+           .select(F.lit("ivf").alias("method"), "query_id",
+                   "neighbor_id"))
     e = _t(spark, sf_dir, "embeddings")
     bk = _lsh_buckets_df(e)
     qb = (bk.filter(F.col("vec_id") < 8)
           .select(F.col("vec_id").alias("query_id"), "bucket"))
     lsh = (qb.join(bk, "bucket")
            .filter(F.col("vec_id") != F.col("query_id"))
-           .select("query_id", F.col("vec_id").alias("neighbor_id"))
-           .distinct().withColumn("hit", F.lit(1)))
+           .select(F.lit("lsh_candidates").alias("method"), "query_id",
+                   F.col("vec_id").alias("neighbor_id"))
+           .distinct())
 
-    def recall_of(cand: DataFrame, method: str) -> DataFrame:
-        j = bf.join(cand, ["query_id", "neighbor_id"], "left")
-        return (j.groupBy("query_id")
-                .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2000)
-                     .cast("long").alias("recall_e4"))
-                .select(F.lit(method).alias("method"), "query_id",
-                        "recall_e4"))
-
-    out = recall_of(ivf, "ivf").unionByName(
-        recall_of(lsh, "lsh_candidates"))
+    # one candidate union + ONE left join: the brute-force subtree (a
+    # full corpus-scoring pass) appears once in the plan instead of
+    # once per method
+    cand = ivf.unionByName(lsh).withColumn("hit", F.lit(1))
+    methods = spark.createDataFrame([("ivf",), ("lsh_candidates",)],
+                                    "method string")
+    bfm = bf.crossJoin(F.broadcast(methods))   # 5 rows/query x methods
+    j = bfm.join(cand, ["method", "query_id", "neighbor_id"], "left")
+    out = (j.groupBy("method", "query_id")
+           .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 2000)
+                .cast("long").alias("recall_e4")))
     return out.filter((F.col("method") != "ivf")
                       | (F.col("recall_e4") >= _ANN_RECALL_FLOOR_E4))
 

@@ -231,8 +231,20 @@ component labeling, per-line segmentation, batched-NCC classification,
 MICR grammar.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-maintained sections (locked per-query baseline,
+    # extra scale points) appended after the PRESERVE marker: only the
+    # scaling-evidence prefix is regenerated
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "<!-- PRESERVE: sections below survive bench_scaling regeneration -->"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    if not tail:
+        tail = marker + "\n"
+    with open(path, "w") as f:
+        f.write(md + "\n" + tail)
     print(json.dumps({
         "n_docs": n_docs,
         f"local[{n_small}]_sec": round(r_small["sec"], 2),

@@ -137,16 +137,20 @@ print("VERIFY " + str(mm) + " " + str(err))
     # host-load periods — interleaving decorrelates the drift.
     r_small = None
     r_big = None
+    rep_walls: dict[str, list] = {"small": [], "big": []}
     for i in range(reps):
         if i:
             time.sleep(settle)
         r = run_level(f"local[{n_small}]", bench_dir)
+        rep_walls["small"].append(round(r["sec"], 2))
         if r_small is None or r["sec"] < r_small["sec"]:
             r_small = r
         time.sleep(settle)
         r = run_level(f"local[{n_big}]", bench_dir)
+        rep_walls["big"].append(round(r["sec"], 2))
         if r_big is None or r["sec"] < r_big["sec"]:
             r_big = r
+    print("REP_WALLS " + json.dumps(rep_walls), file=sys.stderr)
     tp_small = n_docs / r_small["sec"]
     tp_big = n_docs / r_big["sec"]
     eff = tp_big / (4 * tp_small)
@@ -247,6 +251,7 @@ MICR grammar.
         f.write(md + "\n" + tail)
     print(json.dumps({
         "n_docs": n_docs,
+        "rep_walls_sec": rep_walls,
         f"local[{n_small}]_sec": round(r_small["sec"], 2),
         f"local[{n_big}]_sec": round(r_big["sec"], 2),
         "docs_per_sec_small": round(tp_small, 2),

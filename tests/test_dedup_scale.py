@@ -182,10 +182,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def write_part(name, rows):
-        pq.write_table(pa.table({
-            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "text": [r[1] for r in rows],
-        }), str(ingest / name))
+        _write_stream_part(ingest, name, rows)  # pins arrival order
 
     write_part("part-000.parquet", [(1, "alpha"), (2, "beta"),
                                     (3, "alpha")])
@@ -227,10 +224,19 @@ _ND_OTHER = ("completely different words about spark partitions and "
 
 
 def _write_stream_part(ingest, name, rows):
+    """Write an ingest part with a strictly increasing mtime derived
+    from its part number: Spark's FileStreamSource orders files by
+    modification time, and parts written within one clock tick would
+    otherwise arrive in ARBITRARY order — the tests pin arrival order
+    because first-arrival-wins is exactly the semantics under test."""
+    import time
+    path = str(ingest / name)
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
         "text": [r[1] for r in rows],
-    }), str(ingest / name))
+    }), path)
+    t = time.time() + 100 * int(name.split("-")[1].split(".")[0])
+    os.utime(path, (t, t))
 
 
 def test_streaming_neardup_cross_batch_and_resume(spark, tmp_path):
@@ -372,3 +378,24 @@ def test_lsh_neardup_recall_floor(spark, tmp_path_factory):
              for r in m.q_embedding_near_dup(spark, d).collect()}
     planted = {(i, i + 20) for i in range(20)}
     assert planted <= pairs                   # recall 1.0 on planted set
+
+
+def test_streaming_neardup_parquet_sink(spark, tmp_path):
+    """Append-mode parquet sink for the streaming near-dup: the match
+    rows land in the table without a driver collect, and the per-doc
+    verdict derived from them matches the drain helper's."""
+    from fin_ocr_sdk_spark.streaming.neardup import run_neardup_to_parquet
+
+    ingest = tmp_path / "ingest"
+    ingest.mkdir()
+    out_dir = str(tmp_path / "out")
+    _write_stream_part(ingest, "part-000.parquet", [(1, _ND_BASE),
+                                                    (2, _ND_OTHER)])
+    _write_stream_part(ingest, "part-001.parquet", [(3, _ND_NEAR)])
+    run_neardup_to_parquet(spark, str(ingest), out_dir,
+                           str(tmp_path / "ck"), max_files_per_trigger=1)
+    rows = spark.read.parquet(out_dir).collect()
+    flagged = {r.doc_id for r in rows if r.anchor_doc_id != r.doc_id}
+    assert flagged == {3}
+    anchors = {r.anchor_doc_id for r in rows if r.doc_id == 3}
+    assert 1 in anchors

@@ -146,3 +146,27 @@ def test_decode_image_failure_contract_is_valueerror_only():
                 codecs.decode_image(data[:cut], fmt)
             except ValueError:
                 pass   # the ONLY permitted failure type
+
+
+def test_jpeg_truncation_and_corruption_never_escape_valueerror():
+    """Robustness of the inlined entropy decoder: any truncation of a
+    valid stream, and byte corruptions inside the entropy segment,
+    either decode to SOME raster or raise ValueError through
+    codecs.decode_image — never IndexError/struct.error/KeyError (which a
+    Spark task would surface as a crash instead of a micr:error row)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 96)).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80))
+    for cut in range(2, len(data), max(1, len(data) // 60)):
+        try:
+            codecs.decode_image(bytes(data[:cut]), "jpeg")
+        except ValueError:
+            pass
+    for _ in range(80):
+        mut = bytearray(data)
+        i = int(rng.integers(2, len(mut)))
+        mut[i] = int(rng.integers(0, 256))
+        try:
+            codecs.decode_image(bytes(mut), "jpeg")
+        except ValueError:
+            pass

@@ -1154,7 +1154,62 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       | (F.col("recall_e4") >= _ANN_RECALL_FLOOR_E4))
 
 
-# ------------------------------------------------------------ registry
+_SAMPLE_PERMILLE = 100   # 10% deterministic sample per stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling — the corpus-downsampling
+    op every training-data pipeline needs (seeded, reproducible across
+    runs and engines, no Bernoulli RNG): keep a document iff the
+    portable polynomial hash of its doc_id lands under the per-stratum
+    permille threshold.  Strata here are the language column; the rate
+    is uniform but the shape generalizes to per-language quotas by
+    joining a rate table.  The bucket folds the polynomial hash over
+    sha256(doc_id) HEX (lowercase in both engines) rather than the raw
+    id: short numeric ids give the bare fold poor avalanche (measured
+    2% keep at a 10% threshold), while the crypto digest mixes fully
+    and keeps the fold portable to the SQL twin.  Scale shape: pure
+    Catalyst projection + filter (no shuffle at all), and the sample
+    decision is a function of the row alone, so it distributes
+    trivially at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents")
+    digest = F.sha2(F.col("doc_id").cast("string"), 256)
+    chars = F.filter(F.split(digest, ""), lambda c: c != F.lit(""))
+    h = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _HASH_P)
+    return (d.select("doc_id", "lang", (h % 1000).alias("bucket"))
+            .filter(F.col("bucket") < _SAMPLE_PERMILLE)
+            .select("doc_id", "lang", "bucket"))
+
+
+_QUANTILES = (50, 90, 99)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with EXACT discrete quantiles of
+    the token count (p50/p90/p99 as the value at rank ceil(p*n) in
+    sorted order — integer arithmetic identical in both engines; no
+    float interpolation, which differs in the last ulp across engines).
+    Scale shape: one shuffle on the stratum key; the rank window sorts
+    within strata only.  At 10^12 docs exact within-stratum sort is the
+    expensive-but-correct baseline; the approx path would swap in
+    approx_percentile without changing the output contract."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    base = d.select("lang", toks.alias("n_tokens"))
+    ranked = (base
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("lang").orderBy("n_tokens")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("lang"))))
+    picks = [
+        F.max(F.when(
+            F.col("rk") == F.ceil(F.col("n") * F.lit(p) / 100.0),
+            F.col("n_tokens"))).alias(f"p{p}_tokens")
+        for p in _QUANTILES]
+    return (ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), *picks))
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1180,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_size_distribution": q_part_size_distribution,
         # training-data ops
         "dedup_exact": q_dedup_exact,
+        "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1684,6 +1741,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY sha256(text) HAVING count(*) >= 1
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, bucket FROM (
+              SELECT doc_id, lang,
+                     {_POLY_SQL.format(
+                         col="sha256(CAST(doc_id AS VARCHAR))",
+                         m=31)} % 1000 AS bucket
+              FROM documents) t
+            WHERE bucket < {_SAMPLE_PERMILLE}
+        """,
+        "corpus_stats": f"""
+            WITH base AS (
+              SELECT lang,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                         AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT lang, n_tokens,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_tokens) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM base)
+            SELECT lang, count(*) AS n_docs,
+                   {", ".join(
+                       f"max(CASE WHEN rk = ceil(n * {p} / 100.0) "
+                       f"THEN n_tokens END) AS p{p}_tokens"
+                       for p in _QUANTILES)}
+            FROM r GROUP BY lang
         """,
         "token_count": f"""
             SELECT doc_id,

@@ -1183,6 +1183,78 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "bucket"))
 
 
+_PACK_CAPACITY = 512   # context-window token budget per packed bin
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — the LLM-training step that concatenates
+    documents into fixed context windows: within each language shard,
+    documents are taken in doc_id order and a new bin starts whenever
+    adding the next document would exceed _PACK_CAPACITY tokens (an
+    oversized document occupies its own bin).  The greedy reset is
+    inherently sequential WITHIN a shard, so it runs as a per-group
+    scan inside applyInPandas — which is exactly how a 10^12-doc
+    pipeline packs: shards (here: language; in production: bounded
+    hash shards) pack independently and in parallel, and the scan is
+    O(shard).  The DuckDB twin replays the same recurrence with a
+    recursive CTE, so the bin assignment is checked step-for-step."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    base = d.select("doc_id", "lang", toks.alias("n_tokens"))
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("bin", LongType()),
+    ])
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        cur_bin, cum = 0, 0
+        for t in pdf["n_tokens"]:
+            if cum and cum + t > _PACK_CAPACITY:
+                cur_bin += 1
+                cum = 0
+            cum += t
+            bins.append(cur_bin)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "lang", "n_tokens", "bin"]]
+
+    return base.groupBy("lang").applyInPandas(pack, schema)
+
+
+def _sequence_packing_oracle() -> str:
+    """Recursive-CTE twin of q_sequence_packing: same greedy reset
+    recurrence, one linear recursion per language shard."""
+    return f"""
+        WITH RECURSIVE o AS (
+          SELECT doc_id, lang,
+                 len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                     AS n_tokens,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY doc_id) AS rk
+          FROM documents),
+        r AS (
+          SELECT lang, rk, doc_id, n_tokens,
+                 0::BIGINT AS bin, n_tokens AS cum
+          FROM o WHERE rk = 1
+          UNION ALL
+          SELECT o.lang, o.rk, o.doc_id, o.n_tokens,
+                 CASE WHEN r.cum + o.n_tokens > {_PACK_CAPACITY}
+                      THEN r.bin + 1 ELSE r.bin END,
+                 CASE WHEN r.cum + o.n_tokens > {_PACK_CAPACITY}
+                      THEN o.n_tokens ELSE r.cum + o.n_tokens END
+          FROM r JOIN o ON o.lang = r.lang AND o.rk = r.rk + 1)
+        SELECT doc_id, lang, n_tokens, bin FROM r
+    """
+
+
 _QUANTILES = (50, 90, 99)
 
 
@@ -1237,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
+        "sequence_packing": q_sequence_packing,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1862,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_recall": _ann_recall_oracle(),
         "x9_to_micr": _x9_oracle(),
+        "sequence_packing": _sequence_packing_oracle(),
         "boilerplate_strip": f"""
             WITH s AS (
               SELECT doc_id, unnest(spans, recursive:=true)

@@ -1183,6 +1183,189 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "bucket"))
 
 
+_PDF_N_DOCS = 120
+_HTML_N_DOCS = 150
+
+_GEN_WORDS = ("market report quarterly revenue growth product launch "
+              "analysis summary update regional forecast outlook margin "
+              "segment detail commentary risk capital liquidity").split()
+
+
+def _pdf_docs_path() -> str:
+    """Deterministic PDF corpus (seed 17) for the north rule's
+    PDF-parse leg: 1-3 pages each, sentences that exercise the string
+    escapes ``( ) \\`` and multi-line layout, every third document
+    stored with uncompressed content streams.  The golden per-page text
+    is recorded AT COMPOSE TIME, so the extractor is checked against
+    what was written, not against itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fin_ocr_sdk_spark.sources.pdf import encode_simple_pdf
+    from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
+    path = os.path.join(FIXTURE_ROOT, "pdf_docs_v1.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(17)
+    ids, blobs, goldens = [], [], []
+    for i in range(_PDF_N_DOCS):
+        pages = []
+        for _ in range(int(rng.integers(1, 4))):
+            lines = []
+            for _ in range(int(rng.integers(2, 6))):
+                ws = " ".join(rng.choice(_GEN_WORDS,
+                                         int(rng.integers(4, 9))))
+                if rng.random() < 0.3:
+                    ws += " (note: Q%d)" % int(rng.integers(1, 5))
+                if rng.random() < 0.15:
+                    ws += r" ratio a\b"
+                lines.append(ws)
+            pages.append("\n".join(lines))
+        blobs.append(encode_simple_pdf(pages, compress=(i % 3 != 0)))
+        ids.append(f"pdf-{i:04d}")
+        goldens.append(pages)
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({
+        "pdf_id": ids,
+        "pdf": pa.array(blobs, type=pa.binary()),
+        "golden_pages": pa.array(goldens, type=pa.list_(pa.string())),
+    }), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text layer over opaque binary (north rule: PDF/layout
+    parse): per-page text recovered from the content streams
+    (FlateDecode + text-operator replay, sources/pdf.py) inside one
+    Arrow pass; the oracle reads the compose-time golden pages the
+    extractor never sees (only (pdf_id, pdf) is selected into the
+    UDF)."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("pdf_id", StringType()),
+        StructField("page", LongType()),
+        StructField("text", StringType()),
+    ])
+
+    def extract(it):
+        from fin_ocr_sdk_spark.sources.pdf import extract_pdf_text
+        for pdf in it:
+            rows = {"pdf_id": [], "page": [], "text": []}
+            for pid, blob in zip(pdf["pdf_id"], pdf["pdf"]):
+                for pg, text in enumerate(extract_pdf_text(bytes(blob))):
+                    rows["pdf_id"].append(pid)
+                    rows["page"].append(pg)
+                    rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(_pdf_docs_path()).select("pdf_id", "pdf")
+    return docs.mapInPandas(extract, schema)
+
+
+_HTML_CHROME = {
+    "nav": "<nav><ul><li>Home</li><li>Products</li><li>Contact</li>"
+           "</ul></nav>",
+    "header": "<header>ACME GROUP NEWSROOM</header>",
+    "footer": "<footer>copyright acme group all rights reserved"
+              "</footer>",
+    "aside": "<aside>related stories and links</aside>",
+    "ad": "<div class=\"ad-banner\">SUBSCRIBE NOW SPECIAL OFFER</div>",
+    "cookie": "<div id=\"cookie-notice\">we use cookies ok?</div>",
+    "script": "<script>window.track&&track('pv');</script>",
+}
+
+
+def _html_docs_path() -> str:
+    """Deterministic HTML corpus (seed 19) for the DOM-heuristic leg:
+    every page wraps known content paragraphs (with inline <b>/<i>/
+    entity markup) in a random sample of chrome blocks (nav, header,
+    footer, aside, class/id-keyword divs, scripts).  The golden main
+    text is derived from the content parts at compose time."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
+    path = os.path.join(FIXTURE_ROOT, "html_docs_v1.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(19)
+    chrome_keys = sorted(_HTML_CHROME)
+    ids, htmls, goldens = [], [], []
+    for i in range(_HTML_N_DOCS):
+        title = " ".join(rng.choice(_GEN_WORDS, 3)).title()
+        paras = []
+        for _ in range(int(rng.integers(2, 6))):
+            words = [str(w) for w in
+                     rng.choice(_GEN_WORDS, int(rng.integers(6, 12)))]
+            paras.append(" ".join(words))
+        golden = "\n".join([title] + paras)
+
+        html_paras = []
+        for p in paras:
+            ws = p.split()
+            k = int(rng.integers(0, len(ws)))
+            deco = str(rng.choice(["b", "i", "em"]))
+            ws[k] = f"<{deco}>{ws[k]}</{deco}>"
+            sep = "&nbsp;" if rng.random() < 0.2 else " "
+            html_paras.append("<p>" + sep.join(ws) + "</p>")
+        pre = [ _HTML_CHROME[k] for k in
+                rng.choice(chrome_keys, int(rng.integers(1, 4)),
+                           replace=False)]
+        post = [_HTML_CHROME[k] for k in
+                rng.choice(chrome_keys, int(rng.integers(1, 4)),
+                           replace=False)]
+        html = ("<html><head><title>meta title</title>"
+                "<style>p{margin:0}</style></head><body>"
+                + "".join(pre)
+                + f"<article><h1>{title}</h1>"
+                + "".join(html_paras) + "</article>"
+                + "".join(post) + "</body></html>")
+        ids.append(f"page-{i:04d}")
+        htmls.append(html)
+        goldens.append(golden)
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({
+        "page_id": ids, "html": htmls, "golden_main": goldens,
+    }), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic main-content extraction (north rule: DOM
+    heuristics next to the exact-match boilerplate strip): chrome tags
+    and chrome-keyword class/id containers dropped at any depth,
+    blocks flattened, whitespace normalized (operators/html_main.py).
+    Only (page_id, html) reaches the UDF; the oracle reads the
+    compose-time golden."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField("page_id", StringType()),
+        StructField("main_text", StringType()),
+    ])
+
+    def extract(it):
+        from fin_ocr_sdk_spark.operators.html_main import \
+            extract_main_text
+        for pdf in it:
+            yield pd.DataFrame({
+                "page_id": pdf["page_id"],
+                "main_text": [extract_main_text(h)
+                              for h in pdf["html"]],
+            })
+
+    docs = spark.read.parquet(_html_docs_path()).select("page_id", "html")
+    return docs.mapInPandas(extract, schema)
+
+
 _PACK_CAPACITY = 512   # context-window token budget per packed bin
 
 
@@ -1322,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "boilerplate_strip": q_boilerplate_strip,
+        "pdf_text_extract": q_pdf_text_extract,
+        "html_main_content": q_html_main_content,
         "media_resize": q_media_resize,
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
@@ -1936,6 +2121,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle(),
         "x9_to_micr": _x9_oracle(),
         "sequence_packing": _sequence_packing_oracle(),
+        "pdf_text_extract": f"""
+            SELECT pdf_id,
+                   CAST(generate_subscripts(golden_pages, 1) - 1
+                        AS BIGINT) AS page,
+                   unnest(golden_pages) AS text
+            FROM read_parquet('{_pdf_docs_path()}')
+        """,
+        "html_main_content": f"""
+            SELECT page_id, golden_main AS main_text
+            FROM read_parquet('{_html_docs_path()}')
+        """,
         "boilerplate_strip": f"""
             WITH s AS (
               SELECT doc_id, unnest(spans, recursive:=true)

@@ -1,0 +1,101 @@
+"""DOM-heuristic main-content extraction — the north rule's "DOM
+heuristics" leg next to the exact-match boilerplate strip
+(``__spark_entry__.q_boilerplate_strip``), pure stdlib
+(``html.parser``), no external DOM libs in this environment.
+
+Heuristics (the boilerpipe/Readability family at tag granularity):
+
+- text inside ``script``/``style``/``noscript``/``template`` is never
+  content;
+- text inside chrome containers — ``nav``/``header``/``footer``/
+  ``aside`` and any element whose ``class``/``id`` matches a chrome
+  keyword (menu, sidebar, banner, cookie, ad) — is dropped, at any
+  nesting depth;
+- what remains is block-flattened: block-level boundaries become line
+  breaks, inline tags do not, and whitespace is normalized per line.
+
+Deterministic and order-preserving, so the per-document output is a
+stable golden for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_SKIP_ENTIRELY = {"script", "style", "noscript", "template", "title"}
+_CHROME_TAGS = {"nav", "header", "footer", "aside"}
+_CHROME_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:nav|menu|sidebar|banner|footer|header|cookie|ads?|"
+    r"promo|social|breadcrumbs?)(?:$|[\s_-])", re.I)
+_BLOCK_TAGS = {"p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3",
+               "h4", "h5", "h6", "table", "tr", "td", "th", "section",
+               "article", "blockquote", "pre", "main", "body"}
+_VOID_TAGS = {"br", "hr", "img", "meta", "link", "input"}
+
+#: structural break sentinel — raw newlines in document text are plain
+#: whitespace in HTML and must NOT split blocks; only block-tag
+#: boundaries and <br> do
+_BREAK = "\x00"
+
+
+class _MainText(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.skip_depth = 0
+        self.chrome_depth = 0
+        self.parts: list[str] = []
+
+    @staticmethod
+    def _is_chrome(tag: str, attrs) -> bool:
+        if tag in _CHROME_TAGS:
+            return True
+        for name, val in attrs:
+            if name in ("class", "id") and val \
+                    and _CHROME_CLASS_RE.search(val):
+                return True
+        return False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            if tag == "br" and not self.skip_depth \
+                    and not self.chrome_depth:
+                self.parts.append(_BREAK)
+            return
+        if tag in _SKIP_ENTIRELY:
+            self.skip_depth += 1
+            return
+        if self.chrome_depth or self._is_chrome(tag, attrs):
+            self.chrome_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if tag in _SKIP_ENTIRELY:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.chrome_depth:
+            self.chrome_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+
+    def handle_data(self, data):
+        if not self.skip_depth and not self.chrome_depth:
+            self.parts.append(data)
+
+
+def extract_main_text(html: str) -> str:
+    """Main content of an HTML document as newline-separated blocks."""
+    p = _MainText()
+    p.feed(html)
+    p.close()
+    lines = []
+    for raw_line in "".join(p.parts).split(_BREAK):
+        line = re.sub(r"\s+", " ", raw_line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)

@@ -1,0 +1,72 @@
+"""PDF text-layer and DOM-heuristic extraction units (north rule:
+PDF/layout parse + DOM heuristics legs of main-content extraction)."""
+
+import numpy as np
+import pytest
+
+from fin_ocr_sdk_spark.operators.html_main import extract_main_text
+from fin_ocr_sdk_spark.sources.pdf import (encode_simple_pdf,
+                                           extract_pdf_text)
+
+
+def test_pdf_roundtrip_compressed_and_raw():
+    pages = ["Hello world\nSecond line with (parens) and \\ backslash",
+             "Page two: quarterly revenue grew 14%"]
+    for compress in (True, False):
+        assert extract_pdf_text(
+            encode_simple_pdf(pages, compress=compress)) == pages
+
+
+def test_pdf_string_escapes():
+    pages = ["tab\there", "oct \xe9 end", "nested (deep (deeper)) ok"]
+    assert extract_pdf_text(encode_simple_pdf(pages)) == pages
+
+
+def test_pdf_error_contract():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf at all")
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"%PDF-1.4\nno pages here")
+    # corrupt FlateDecode stream -> ValueError, not zlib.error
+    data = bytearray(encode_simple_pdf(["abc def"]))
+    i = data.find(b"stream\n") + len(b"stream\n")
+    data[i:i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        extract_pdf_text(bytes(data))
+
+
+def test_pdf_truncations_stay_valueerror():
+    data = encode_simple_pdf(["some words here", "and a second page"])
+    for cut in range(4, len(data), max(1, len(data) // 40)):
+        try:
+            extract_pdf_text(data[:cut])
+        except ValueError:
+            pass
+
+
+def test_html_chrome_dropped_content_kept():
+    html = ("<html><head><title>meta</title><script>x&&y</script>"
+            "</head><body><header>SITE</header>"
+            "<nav><li>Home</li></nav>"
+            "<article><h1>Title Words</h1>"
+            "<p>alpha <b>beta</b>&nbsp;gamma</p>"
+            "<div class='promo-banner'>BUY</div>"
+            "<div><div id='sidebar-x'>links</div><p>delta</p></div>"
+            "</article><footer>legal</footer></body></html>")
+    out = extract_main_text(html)
+    assert out.split("\n") == ["Title Words", "alpha beta gamma",
+                               "delta"]
+
+
+def test_html_nested_chrome_and_blocks():
+    html = ("<body><aside><div><p>deep chrome text</p></div></aside>"
+            "<main><p>one</p><ul><li>two</li><li>three</li></ul>"
+            "<p>four<br>five</p></main></body>")
+    out = extract_main_text(html)
+    assert "deep chrome text" not in out
+    assert out.split("\n") == ["one", "two", "three", "four", "five"]
+
+
+def test_html_entities_and_whitespace():
+    out = extract_main_text("<p>a&amp;b   c\n\nd &lt;tag&gt;</p>")
+    assert out == "a&b c d <tag>"

@@ -175,7 +175,9 @@ def main() -> None:
                  "dedup_exact", "minhash_dedup", "simhash",
                  "ann_cosine_topk", "token_count", "text_quality",
                  "lang_id", "doc_fingerprint",
-                 "char_best_choice", "line_value_score"):
+                 "char_best_choice", "line_value_score",
+                 "sequence_packing", "corpus_stats",
+                 "pdf_text_extract", "html_main_content"):
         times = []
         for _ in range(2):
             t0 = time.time()

@@ -40,10 +40,20 @@ _BREAK = "\x00"
 
 
 class _MainText(HTMLParser):
+    """Tracks open elements on an explicit stack with a per-element
+    chrome flag, closing by POP-TO-MATCH like a browser: an end tag
+    pops up to its nearest matching start tag (silently discarding
+    unclosed children such as the ubiquitous bare ``<li>``/``<p>``) and
+    a stray end tag with no open match is ignored.  Plain depth
+    counters are NOT enough — one unclosed tag inside a ``<nav>`` would
+    desynchronize the depth and swallow the whole rest of the document
+    as chrome."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.skip_depth = 0
-        self.chrome_depth = 0
+        self.chrome_count = 0            # chrome-flagged entries open
+        self.stack: list[tuple[str, bool]] = []
         self.parts: list[str] = []
 
     @staticmethod
@@ -59,16 +69,17 @@ class _MainText(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
             if tag == "br" and not self.skip_depth \
-                    and not self.chrome_depth:
+                    and not self.chrome_count:
                 self.parts.append(_BREAK)
             return
         if tag in _SKIP_ENTIRELY:
             self.skip_depth += 1
             return
-        if self.chrome_depth or self._is_chrome(tag, attrs):
-            self.chrome_depth += 1
-            return
-        if tag in _BLOCK_TAGS:
+        flag = self._is_chrome(tag, attrs)
+        self.stack.append((tag, flag))
+        if flag:
+            self.chrome_count += 1
+        elif not self.chrome_count and tag in _BLOCK_TAGS:
             self.parts.append(_BREAK)
 
     def handle_endtag(self, tag):
@@ -77,14 +88,19 @@ class _MainText(HTMLParser):
         if tag in _SKIP_ENTIRELY:
             self.skip_depth = max(0, self.skip_depth - 1)
             return
-        if self.chrome_depth:
-            self.chrome_depth -= 1
-            return
-        if tag in _BLOCK_TAGS:
-            self.parts.append(_BREAK)
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                for _, flag in self.stack[i:]:
+                    if flag:
+                        self.chrome_count -= 1
+                del self.stack[i:]
+                if not self.chrome_count and tag in _BLOCK_TAGS:
+                    self.parts.append(_BREAK)
+                return
+        # no matching open tag: stray end tag, ignored (browser rule)
 
     def handle_data(self, data):
-        if not self.skip_depth and not self.chrome_depth:
+        if not self.skip_depth and not self.chrome_count:
             self.parts.append(data)
 
 

@@ -70,3 +70,14 @@ def test_html_nested_chrome_and_blocks():
 def test_html_entities_and_whitespace():
     out = extract_main_text("<p>a&amp;b   c\n\nd &lt;tag&gt;</p>")
     assert out == "a&b c d <tag>"
+
+
+def test_html_malformed_tags_do_not_crash_or_leak_chrome():
+    """Sloppy HTML (unclosed <p>, stray end tags) must neither raise
+    nor resurrect chrome content: depth counters saturate at zero and
+    an unmatched end tag inside chrome at worst closes chrome early."""
+    html = ("<body><nav><li>Home<li>About</nav>"
+            "</div><p>alpha<p>beta<div>gamma</body>")
+    out = extract_main_text(html)
+    assert "Home" not in out and "About" not in out
+    assert out.split("\n") == ["alpha", "beta", "gamma"]

@@ -82,7 +82,9 @@ def band_signatures(texts: list) -> "tuple[list[int], np.ndarray]":
     keep: list[int] = []
     grams_per_doc: list[list] = []
     for i, text in enumerate(texts):
-        g = word_shingles(text) if text is not None else None
+        # non-strings (None, and the NaN pandas surfaces for a NULL
+        # text column) carry no shingles — skip, don't crash the task
+        g = word_shingles(text) if isinstance(text, str) else None
         if g:
             keep.append(i)
             grams_per_doc.append(sorted(g))

@@ -75,6 +75,11 @@ class _MainText(HTMLParser):
         if tag in _SKIP_ENTIRELY:
             self.skip_depth += 1
             return
+        if self.skip_depth:
+            # tags inside a skipped subtree (template/noscript) must
+            # not touch the content stack: an unclosed chrome tag in a
+            # <template> would otherwise swallow the rest of the page
+            return
         flag = self._is_chrome(tag, attrs)
         self.stack.append((tag, flag))
         if flag:
@@ -88,6 +93,8 @@ class _MainText(HTMLParser):
         if tag in _SKIP_ENTIRELY:
             self.skip_depth = max(0, self.skip_depth - 1)
             return
+        if self.skip_depth:
+            return   # end tags inside a skipped subtree: ignore
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i][0] == tag:
                 for _, flag in self.stack[i:]:

@@ -293,7 +293,7 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
     par = spark.sparkContext.defaultParallelism
     total = sum(r["size"] for r in files)
     env = os.environ.get("SPARK_GRAFT_SLICE_BYTES")
-    slice_bytes = int(env) if env else min(
+    slice_bytes = int(env) if env and int(env) > 0 else min(
         64 << 20, max(1 << 20, total // max(1, par * 8)))
     units = []
     for r in files:

@@ -289,11 +289,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if fh < 1 or fw < 1:
+                raise ValueError("bad JPEG frame dimensions")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
+                h, v = hv >> 4, hv & 0xF
+                # zero sampling factors would make the MCU size 0 and
+                # crash the scan with ZeroDivisionError — corrupt
+                # headers must surface as ValueError (micr:error row)
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hv:#x}")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker == 0xC4:  # DHT
             p = 0
@@ -314,8 +321,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + c * 2], seg[2 + c * 2]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tables >> 4, tables & 0xF))
+                matches = [x for x in frame["comps"] if x["id"] == cs]
+                if not matches:
+                    # bare next() would raise StopIteration here and
+                    # escape decode_image's ValueError contract
+                    raise ValueError(f"SOS references unknown "
+                                     f"component {cs}")
+                scan.append((matches[0], tables >> 4, tables & 0xF))
             entropy_start = pos + seg_len
             return _decode_scan(data, entropy_start, frame, scan, quants,
                                 huff_dc, huff_ac, restart_interval)

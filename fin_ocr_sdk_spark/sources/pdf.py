@@ -93,8 +93,8 @@ def encode_simple_pdf(pages: "list[str]", compress: bool = True) -> bytes:
     return bytes(out)
 
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-_OBJ_RE = re.compile(rb"(\d+) 0 obj(.*?)endobj", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+) 0 obj")
+_LENGTH_RE = re.compile(rb"/Length (\d+)")
 _CONTENTS_RE = re.compile(rb"/Contents (\d+) 0 R")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 
@@ -197,22 +197,55 @@ def extract_pdf_text(data: bytes) -> "list[str]":
         raise ValueError("not a PDF")
     streams: dict[int, bytes] = {}
     page_content: list[int] = []
-    for m in _OBJ_RE.finditer(data):
+    # object walk honoring /Length: stream BYTES are sliced by the
+    # declared length, never by searching for 'endstream'/'endobj' —
+    # compressed output can legally contain either byte sequence, and
+    # a delimiter search would truncate the stream or misalign every
+    # later object.  Delimiter search remains only as the fallback for
+    # streams with a missing/indirect /Length.
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if not m:
+            break
         num = int(m.group(1))
-        body = m.group(2)
-        sm = _STREAM_RE.search(body)
-        if sm:
-            raw = sm.group(1)
-            if b"/FlateDecode" in body:
+        body_start = m.end()
+        s_idx = data.find(b"stream", body_start)
+        e_idx = data.find(b"endobj", body_start)
+        if s_idx != -1 and (e_idx == -1 or s_idx < e_idx):
+            head = data[body_start:s_idx]
+            ds = s_idx + len(b"stream")
+            if data[ds:ds + 2] == b"\r\n":
+                ds += 2
+            elif data[ds:ds + 1] == b"\n":
+                ds += 1
+            lm = _LENGTH_RE.search(head)
+            if lm:
+                ln = int(lm.group(1))
+                raw = data[ds:ds + ln]
+                tail = data.find(b"endstream", ds + ln)
+                pos = tail + len(b"endstream") if tail != -1 else ds + ln
+            else:
+                tail = data.find(b"endstream", ds)
+                if tail == -1:
+                    raise ValueError("unterminated PDF stream")
+                raw = data[ds:tail]
+                pos = tail + len(b"endstream")
+            if b"/FlateDecode" in head:
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error as e:
                     raise ValueError(f"corrupt PDF stream: {e}")
             streams[num] = raw
-        elif _TYPE_PAGE_RE.search(body):
-            cm = _CONTENTS_RE.search(body)
-            if cm:
-                page_content.append(int(cm.group(1)))
+        elif e_idx != -1:
+            body = data[body_start:e_idx]
+            if _TYPE_PAGE_RE.search(body):
+                cm = _CONTENTS_RE.search(body)
+                if cm:
+                    page_content.append(int(cm.group(1)))
+            pos = e_idx + len(b"endobj")
+        else:
+            break
     if not page_content:
         raise ValueError("no pages in PDF")
     return [_stream_text(streams.get(cn, b"")) for cn in page_content]

@@ -44,7 +44,11 @@ STATE_SCHEMA = StructType([
 #: ``sha2(NULL, 256)`` is NULL, so every NULL-text row lands in the one
 #: NULL-keyed group; hashing ``str(None)`` instead would collide with a
 #: document whose text is literally "None" while living in a different
-#: group (a dedup miss both ways).
+#: group (a dedup miss both ways).  STATE-FORMAT NOTE: streams
+#: checkpointed before this sentinel existed recorded sha256("None")
+#: for null-text rows; resuming such a checkpoint re-emits the next
+#: null-text arrival once.  Start new streams from a fresh checkpoint
+#: (or inject one "<null>" row) when upgrading across this change.
 _NULL_DIGEST = "<null>"
 
 

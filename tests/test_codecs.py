@@ -170,3 +170,36 @@ def test_jpeg_truncation_and_corruption_never_escape_valueerror():
             codecs.decode_image(bytes(mut), "jpeg")
         except ValueError:
             pass
+
+
+def test_jpeg_corrupt_headers_raise_valueerror():
+    """Header corruptions that used to escape as ZeroDivisionError
+    (zero sampling factors) or StopIteration (SOS referencing an
+    unknown component) must surface as ValueError — one bad image is a
+    micr:error row, not a dead Spark task."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 48)).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 layout after marker+len: precision(1) h(2) w(2) nc(1) then
+    # per-component [id, hv, tq]
+    hv_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    bad = bytearray(data)
+    bad[hv_off] = 0x00          # zero sampling factors
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(bad), "jpeg")
+    sos = data.find(b"\xff\xda")
+    bad2 = bytearray(data)
+    bad2[sos + 2 + 2 + 1] = 0x77  # SOS component id -> unknown
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(bad2), "jpeg")
+
+
+def test_minhash_band_signatures_tolerates_non_strings():
+    from fin_ocr_sdk_spark.functions.minhash import band_signatures
+    texts = ["one two three four five", None, float("nan"),
+             "alpha beta gamma delta"]
+    keep, sig = band_signatures(texts)
+    assert keep == [0, 3]
+    assert sig.shape == (2, 4)

@@ -81,3 +81,24 @@ def test_html_malformed_tags_do_not_crash_or_leak_chrome():
     out = extract_main_text(html)
     assert "Home" not in out and "About" not in out
     assert out.split("\n") == ["alpha", "beta", "gamma"]
+
+
+def test_pdf_length_based_slicing_survives_delimiter_text():
+    """Stream bytes may legally contain 'endstream'/'endobj' (always
+    true of compressed output): the parser slices by /Length, so such
+    content must round-trip instead of truncating the stream or
+    misaligning later objects."""
+    pages = ["x endstream y\nmid endobj z", "second page ok"]
+    for compress in (False, True):
+        assert extract_pdf_text(
+            encode_simple_pdf(pages, compress=compress)) == pages
+
+
+def test_html_unclosed_chrome_inside_skipped_subtree():
+    """Tags opened inside template/noscript subtrees must not reach the
+    content stack: an unclosed <nav> in a <template> previously left
+    the parser 'in chrome' and swallowed the rest of the page."""
+    html = "<body><template><nav></template><p>hello</p></body>"
+    assert extract_main_text(html) == "hello"
+    html2 = "<body><noscript><div class='menu-x'></noscript><p>w</p></body>"
+    assert extract_main_text(html2) == "w"

@@ -278,7 +278,11 @@ def q_x9_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U"), F.col("o_orderkey").cast("string"), F.lit("U"),
         F.lit("T"), F.lpad(F.col("o_custkey").cast("string"), 9, "0"),
         F.lit("T"),
-        F.regexp_replace(on_us, "/", "U"))
+        # FIRST slash only (reference x9ToMicr uses String.replace with
+        # a non-global pattern): anchored group rewrite, since Spark's
+        # regexp_replace is always replace-all.  The DuckDB twin's
+        # regexp_replace without the 'g' flag is first-only natively.
+        F.regexp_replace(on_us, "^([^/]*)/", "$1U"))
     return o.select("o_orderkey",
                     F.regexp_replace(micr, "\\s", "").alias("micr"))
 
@@ -761,16 +765,27 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers, nav — the line-frequency heuristic of CCNet/boilerpipe at
     exact-match granularity); those spans are dropped and the survivors
     renumbered per document.  Scale shape: the document-frequency agg
-    shuffles only (text, doc_id) pairs, the boilerplate set is tiny so
-    the anti-join broadcasts, and no UDF is involved — pure Catalyst."""
+    shuffles xxhash64(text) — 8 bytes — instead of the span bytes; the
+    candidate hash set is tiny, so resolving it back to exact texts is
+    a broadcast semi-join plus a recount over only the candidate spans
+    (which also makes a hash collision harmless: the second pass
+    recomputes the document frequency per exact TEXT, so a rare span
+    colliding with a boilerplate span cannot be dropped).  The final
+    anti-join broadcasts the boiler text set; no UDF — pure Catalyst."""
     docs = spark.read.parquet(_webdocs_path())
     s = (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
          .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
-    counts = (s.groupBy("text")
-              .agg(F.count_distinct("doc_id").alias("df")))
-    boiler = counts.filter(
-        F.col("df") >= int(_BOILER_DF_FRAC * _BOILER_N_DOCS))
-    kept = s.join(boiler.select("text"), "text", "anti")
+    thresh = int(_BOILER_DF_FRAC * _BOILER_N_DOCS)
+    cand_h = (s.select(F.xxhash64("text").alias("th"), "doc_id")
+              .groupBy("th")
+              .agg(F.count_distinct("doc_id").alias("df"))
+              .filter(F.col("df") >= thresh).select("th"))
+    boiler = (s.withColumn("th", F.xxhash64("text"))
+              .join(F.broadcast(cand_h), "th", "semi")
+              .groupBy("text")
+              .agg(F.count_distinct("doc_id").alias("df"))
+              .filter(F.col("df") >= thresh))
+    kept = s.join(F.broadcast(boiler.select("text")), "text", "anti")
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (kept.withColumn("order",
                             (F.row_number().over(w) - 1).cast("long"))
@@ -1076,7 +1091,10 @@ def q_x9_to_micr(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).otherwise(F.lit("")),
         F.lit("T"), F.col("payor_bank_routing_number"),
         F.col("payor_bank_check_digit"), F.lit("T"),
-        F.regexp_replace("on_us", "/", "U"))
+        # first slash only — see q_x9_compose; parity with
+        # functions/micr.py:78 (on_us.replace("/", "U", 1)) no longer
+        # rests on the fixture guaranteeing a single slash.
+        F.regexp_replace(F.col("on_us"), "^([^/]*)/", "$1U"))
     composed = x9.select(
         "item_id", F.regexp_replace(micr_raw, "\\s", "").alias("micr"))
 
@@ -1195,16 +1213,19 @@ def _pdf_docs_path() -> str:
     """Deterministic PDF corpus (seed 17) for the north rule's
     PDF-parse leg: 1-3 pages each, sentences that exercise the string
     escapes ``( ) \\`` and multi-line layout, every third document
-    stored with uncompressed content streams.  The golden per-page text
-    is recorded AT COMPOSE TIME, so the extractor is checked against
-    what was written, not against itself."""
+    stored with uncompressed content streams, every fourth written as
+    a PDF 1.5 file (object-stream page dicts, /Contents arrays, xref
+    stream).  The golden per-page text is recorded AT COMPOSE TIME, so
+    the extractor is checked against what was written, not against
+    itself."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from fin_ocr_sdk_spark.sources.pdf import encode_simple_pdf
+    from fin_ocr_sdk_spark.sources.pdf import (encode_pdf_15,
+                                               encode_simple_pdf)
     from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
-    path = os.path.join(FIXTURE_ROOT, "pdf_docs_v1.parquet")
+    path = os.path.join(FIXTURE_ROOT, "pdf_docs_v2.parquet")
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(17)
@@ -1222,7 +1243,10 @@ def _pdf_docs_path() -> str:
                     ws += r" ratio a\b"
                 lines.append(ws)
             pages.append("\n".join(lines))
-        blobs.append(encode_simple_pdf(pages, compress=(i % 3 != 0)))
+        if i % 4 == 0:
+            blobs.append(encode_pdf_15(pages))
+        else:
+            blobs.append(encode_simple_pdf(pages, compress=(i % 3 != 0)))
         ids.append(f"pdf-{i:04d}")
         goldens.append(pages)
     os.makedirs(FIXTURE_ROOT, exist_ok=True)
@@ -1284,18 +1308,23 @@ def _html_docs_path() -> str:
     """Deterministic HTML corpus (seed 19) for the DOM-heuristic leg:
     every page wraps known content paragraphs (with inline <b>/<i>/
     entity markup) in a random sample of chrome blocks (nav, header,
-    footer, aside, class/id-keyword divs, scripts).  The golden main
+    footer, aside, class/id-keyword divs, scripts).  Every fifth page
+    is DIV-SOUP: no semantic tags or chrome class keywords anywhere —
+    chrome is plain <div> link lists, content is <div> paragraphs —
+    exercising the extractor's link-density fallback.  The golden main
     text is derived from the content parts at compose time."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
-    path = os.path.join(FIXTURE_ROOT, "html_docs_v1.parquet")
+    path = os.path.join(FIXTURE_ROOT, "html_docs_v2.parquet")
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(19)
     chrome_keys = sorted(_HTML_CHROME)
+    link_words = ("home about contact products archive careers press "
+                  "login signup terms privacy help search").split()
     ids, htmls, goldens = [], [], []
     for i in range(_HTML_N_DOCS):
         title = " ".join(rng.choice(_GEN_WORDS, 3)).title()
@@ -1306,26 +1335,49 @@ def _html_docs_path() -> str:
             paras.append(" ".join(words))
         golden = "\n".join([title] + paras)
 
-        html_paras = []
-        for p in paras:
-            ws = p.split()
-            k = int(rng.integers(0, len(ws)))
-            deco = str(rng.choice(["b", "i", "em"]))
-            ws[k] = f"<{deco}>{ws[k]}</{deco}>"
-            sep = "&nbsp;" if rng.random() < 0.2 else " "
-            html_paras.append("<p>" + sep.join(ws) + "</p>")
-        pre = [ _HTML_CHROME[k] for k in
-                rng.choice(chrome_keys, int(rng.integers(1, 4)),
-                           replace=False)]
-        post = [_HTML_CHROME[k] for k in
-                rng.choice(chrome_keys, int(rng.integers(1, 4)),
-                           replace=False)]
-        html = ("<html><head><title>meta title</title>"
-                "<style>p{margin:0}</style></head><body>"
-                + "".join(pre)
-                + f"<article><h1>{title}</h1>"
-                + "".join(html_paras) + "</article>"
-                + "".join(post) + "</body></html>")
+        if i % 5 == 0:
+            # div-soup page: chrome = link-list divs (no semantic tags,
+            # no keyword classes), content = plain divs; one content
+            # paragraph may carry a single inline link (link density
+            # stays well under the 50% drop threshold)
+            def link_list() -> str:
+                n = int(rng.integers(3, 6))
+                items = rng.choice(link_words, n, replace=False)
+                return ("<div>" + " ".join(
+                    f'<a href="/{w}">{w}</a>' for w in items) + "</div>")
+            html_paras = []
+            for p in paras:
+                ws = p.split()
+                if rng.random() < 0.3:
+                    k = int(rng.integers(0, len(ws)))
+                    ws[k] = f'<a href="/x">{ws[k]}</a>'
+                html_paras.append("<div>" + " ".join(ws) + "</div>")
+            html = ("<html><head><title>meta title</title></head><body>"
+                    + link_list() + link_list()
+                    + f"<div><div>{title}</div>"
+                    + "".join(html_paras) + "</div>"
+                    + link_list() + "</body></html>")
+        else:
+            html_paras = []
+            for p in paras:
+                ws = p.split()
+                k = int(rng.integers(0, len(ws)))
+                deco = str(rng.choice(["b", "i", "em"]))
+                ws[k] = f"<{deco}>{ws[k]}</{deco}>"
+                sep = "&nbsp;" if rng.random() < 0.2 else " "
+                html_paras.append("<p>" + sep.join(ws) + "</p>")
+            pre = [ _HTML_CHROME[k] for k in
+                    rng.choice(chrome_keys, int(rng.integers(1, 4)),
+                               replace=False)]
+            post = [_HTML_CHROME[k] for k in
+                    rng.choice(chrome_keys, int(rng.integers(1, 4)),
+                               replace=False)]
+            html = ("<html><head><title>meta title</title>"
+                    "<style>p{margin:0}</style></head><body>"
+                    + "".join(pre)
+                    + f"<article><h1>{title}</h1>"
+                    + "".join(html_paras) + "</article>"
+                    + "".join(post) + "</body></html>")
         ids.append(f"page-{i:04d}")
         htmls.append(html)
         goldens.append(golden)
@@ -1369,29 +1421,47 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAPACITY = 512   # context-window token budget per packed bin
 
 
+_PACK_SHARDS = 8  # bounded hash shards per language; production scales
+#                   this with corpus size so no task's shard exceeds a
+#                   few hundred MB of (doc_id, n_tokens) rows.
+
+# Portable multiplicative shard hash (MINSTD constants): overflow-safe
+# for any BIGINT doc_id because (doc_id % 2^31-1) * 48271 < 2^47, and
+# expressible identically in Spark SQL and DuckDB integer arithmetic.
+_SHARD_SQL = ("((doc_id % 2147483647) * 48271 % 2147483647) % "
+              + str(_PACK_SHARDS))
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing — the LLM-training step that concatenates
-    documents into fixed context windows: within each language shard,
-    documents are taken in doc_id order and a new bin starts whenever
-    adding the next document would exceed _PACK_CAPACITY tokens (an
-    oversized document occupies its own bin).  The greedy reset is
-    inherently sequential WITHIN a shard, so it runs as a per-group
-    scan inside applyInPandas — which is exactly how a 10^12-doc
-    pipeline packs: shards (here: language; in production: bounded
-    hash shards) pack independently and in parallel, and the scan is
-    O(shard).  The DuckDB twin replays the same recurrence with a
-    recursive CTE, so the bin assignment is checked step-for-step."""
+    documents into fixed context windows: within each (lang, shard)
+    group, documents are taken in doc_id order and a new bin starts
+    whenever adding the next document would exceed _PACK_CAPACITY
+    tokens (an oversized document occupies its own bin).  The greedy
+    reset is inherently sequential WITHIN a group, so it runs as a
+    per-group scan inside applyInPandas — and the group key is
+    (lang, shard) with shard = hash(doc_id) % _PACK_SHARDS, NOT bare
+    lang: at 10^12 docs the largest language is ~half the corpus, and
+    a bare-lang key would make it one sequential task.  Bounded hash
+    shards pack independently and in parallel; the scan is O(shard)
+    with shard size bounded by corpus/_PACK_SHARDS per language.  The
+    DuckDB twin replays the same recurrence with a recursive CTE per
+    (lang, shard), so the bin assignment is checked step-for-step."""
     import pandas as pd
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
-    base = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    shard = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271)
+             % F.lit(2147483647) % F.lit(_PACK_SHARDS)).cast("long")
+    base = d.select("doc_id", "lang", shard.alias("shard"),
+                    toks.alias("n_tokens"))
 
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("lang", StringType()),
+        StructField("shard", LongType()),
         StructField("n_tokens", LongType()),
         StructField("bin", LongType()),
     ])
@@ -1407,34 +1477,37 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum += t
             bins.append(cur_bin)
         pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf[["doc_id", "lang", "n_tokens", "bin"]]
+        return pdf[["doc_id", "lang", "shard", "n_tokens", "bin"]]
 
-    return base.groupBy("lang").applyInPandas(pack, schema)
+    return base.groupBy("lang", "shard").applyInPandas(pack, schema)
 
 
 def _sequence_packing_oracle() -> str:
     """Recursive-CTE twin of q_sequence_packing: same greedy reset
-    recurrence, one linear recursion per language shard."""
+    recurrence, one linear recursion per (lang, shard) group, with the
+    identical MINSTD shard hash (integer-exact in both engines)."""
     return f"""
         WITH RECURSIVE o AS (
           SELECT doc_id, lang,
+                 ({_SHARD_SQL})::BIGINT AS shard,
                  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
                      AS n_tokens,
-                 row_number() OVER (PARTITION BY lang
+                 row_number() OVER (PARTITION BY lang, ({_SHARD_SQL})
                                     ORDER BY doc_id) AS rk
           FROM documents),
         r AS (
-          SELECT lang, rk, doc_id, n_tokens,
+          SELECT lang, shard, rk, doc_id, n_tokens,
                  0::BIGINT AS bin, n_tokens AS cum
           FROM o WHERE rk = 1
           UNION ALL
-          SELECT o.lang, o.rk, o.doc_id, o.n_tokens,
+          SELECT o.lang, o.shard, o.rk, o.doc_id, o.n_tokens,
                  CASE WHEN r.cum + o.n_tokens > {_PACK_CAPACITY}
                       THEN r.bin + 1 ELSE r.bin END,
                  CASE WHEN r.cum + o.n_tokens > {_PACK_CAPACITY}
                       THEN o.n_tokens ELSE r.cum + o.n_tokens END
-          FROM r JOIN o ON o.lang = r.lang AND o.rk = r.rk + 1)
-        SELECT doc_id, lang, n_tokens, bin FROM r
+          FROM r JOIN o ON o.lang = r.lang AND o.shard = r.shard
+                       AND o.rk = r.rk + 1)
+        SELECT doc_id, lang, shard, n_tokens, bin FROM r
     """
 
 
@@ -1446,25 +1519,40 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token count (p50/p90/p99 as the value at rank ceil(p*n) in
     sorted order — integer arithmetic identical in both engines; no
     float interpolation, which differs in the last ulp across engines).
-    Scale shape: one shuffle on the stratum key; the rank window sorts
-    within strata only.  At 10^12 docs exact within-stratum sort is the
-    expensive-but-correct baseline; the approx path would swap in
-    approx_percentile without changing the output contract."""
+    Scale shape: the only full-data shuffle keys on (lang, n_tokens)
+    — a high-cardinality composite with map-side combine — and the
+    rank windows run over the distinct-value histogram, whose size is
+    bounded by the number of distinct token counts, not documents.  No
+    window or group is partitioned by a bare low-cardinality key, so
+    the plan survives a corpus where one language is half the data.
+    The approx path would swap in approx_percentile without changing
+    the output contract."""
     d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     base = d.select("lang", toks.alias("n_tokens"))
-    ranked = (base
-              .withColumn("rk", F.row_number().over(
-                  Window.partitionBy("lang").orderBy("n_tokens")))
-              .withColumn("n", F.count(F.lit(1)).over(
-                  Window.partitionBy("lang"))))
+    # Distributable shape: aggregate to the (lang, n_tokens) -> cnt
+    # histogram first (map-side combine, shuffle key has the full
+    # (lang, n_tokens) cardinality so no single task sees a whole
+    # language), then rank over the TINY distinct-value table.  The
+    # value at rank ceil(p*n/100) equals the smallest n_tokens whose
+    # cumulative count reaches that rank — identical to the row-level
+    # row_number() contract the DuckDB twin uses, without ever sorting
+    # a language's full row set on one task.
+    counts = (base.groupBy("lang", "n_tokens")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = (Window.partitionBy("lang").orderBy("n_tokens")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("lang")
+    cum = (counts
+           .withColumn("cum", F.sum("cnt").over(w_cum))
+           .withColumn("n", F.sum("cnt").over(w_all)))
     picks = [
-        F.max(F.when(
-            F.col("rk") == F.ceil(F.col("n") * F.lit(p) / 100.0),
+        F.min(F.when(
+            F.col("cum") >= F.ceil(F.col("n") * F.lit(p) / 100.0),
             F.col("n_tokens"))).alias(f"p{p}_tokens")
         for p in _QUANTILES]
-    return (ranked.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"), *picks))
+    return (cum.groupBy("lang")
+            .agg(F.sum("cnt").alias("n_docs"), *picks))
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1740,7 +1828,7 @@ def _x9_oracle() -> str:
                         'U' || auxiliary_on_us || 'U' ELSE '' END)
                    || 'T' || payor_bank_routing_number
                    || payor_bank_check_digit || 'T'
-                   || replace(on_us, '/', 'U'),
+                   || regexp_replace(on_us, '/', 'U'),
                    '\\s', '', 'g') AS micr,
                  regexp_replace(auxiliary_on_us, '\\s', '', 'g') AS aux,
                  regexp_replace(on_us, '\\s', '', 'g') AS onus

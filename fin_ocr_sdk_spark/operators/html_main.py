@@ -12,7 +12,16 @@ Heuristics (the boilerpipe/Readability family at tag granularity):
   keyword (menu, sidebar, banner, cookie, ad) — is dropped, at any
   nesting depth;
 - what remains is block-flattened: block-level boundaries become line
-  breaks, inline tags do not, and whitespace is normalized per line.
+  breaks, inline tags do not, and whitespace is normalized per line;
+- DENSITY FALLBACK (readability/boilerpipe-style): when a page carries
+  NO semantic chrome signal at all — div-soup markup with neither
+  chrome tags nor chrome class/id keywords — the tag heuristic has
+  nothing to cut, so blocks are scored by link density instead: a
+  block whose anchor text is more than half its non-whitespace
+  characters is navigation chrome and dropped.  Pages WITH semantic
+  signal keep the pure tag heuristic (their link lists are already
+  inside the tagged chrome), so the fallback never changes the output
+  for well-marked pages.
 
 Deterministic and order-preserving, so the per-document output is a
 stable golden for the DuckDB oracle.
@@ -53,8 +62,11 @@ class _MainText(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.skip_depth = 0
         self.chrome_count = 0            # chrome-flagged entries open
+        self.link_depth = 0              # open <a> elements
+        self.saw_chrome = False          # any semantic chrome signal?
         self.stack: list[tuple[str, bool]] = []
-        self.parts: list[str] = []
+        #: str entries are _BREAK sentinels; tuples are (text, in_link)
+        self.parts: list = []
 
     @staticmethod
     def _is_chrome(tag: str, attrs) -> bool:
@@ -84,8 +96,11 @@ class _MainText(HTMLParser):
         self.stack.append((tag, flag))
         if flag:
             self.chrome_count += 1
+            self.saw_chrome = True
         elif not self.chrome_count and tag in _BLOCK_TAGS:
             self.parts.append(_BREAK)
+        if tag == "a":
+            self.link_depth += 1
 
     def handle_endtag(self, tag):
         if tag in _VOID_TAGS:
@@ -97,9 +112,11 @@ class _MainText(HTMLParser):
             return   # end tags inside a skipped subtree: ignore
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i][0] == tag:
-                for _, flag in self.stack[i:]:
+                for t, flag in self.stack[i:]:
                     if flag:
                         self.chrome_count -= 1
+                    if t == "a":
+                        self.link_depth -= 1
                 del self.stack[i:]
                 if not self.chrome_count and tag in _BLOCK_TAGS:
                     self.parts.append(_BREAK)
@@ -108,7 +125,10 @@ class _MainText(HTMLParser):
 
     def handle_data(self, data):
         if not self.skip_depth and not self.chrome_count:
-            self.parts.append(data)
+            self.parts.append((data, self.link_depth > 0))
+
+
+_NONWS_RE = re.compile(r"\S")
 
 
 def extract_main_text(html: str) -> str:
@@ -116,9 +136,27 @@ def extract_main_text(html: str) -> str:
     p = _MainText()
     p.feed(html)
     p.close()
+    # group the part stream into blocks at _BREAK sentinels
+    blocks: list[list[tuple[str, bool]]] = [[]]
+    for part in p.parts:
+        if part == _BREAK:
+            blocks.append([])
+        else:
+            blocks[-1].append(part)
     lines = []
-    for raw_line in "".join(p.parts).split(_BREAK):
+    for block in blocks:
+        raw_line = "".join(text for text, _ in block)
         line = re.sub(r"\s+", " ", raw_line).strip()
-        if line:
-            lines.append(line)
+        if not line:
+            continue
+        if not p.saw_chrome:
+            # density fallback: no semantic chrome anywhere on the page
+            # — drop link-dominated blocks (anchor text > half the
+            # block's non-whitespace characters)
+            total = len(_NONWS_RE.findall(raw_line))
+            link = sum(len(_NONWS_RE.findall(text))
+                       for text, in_link in block if in_link)
+            if 2 * link > total:
+                continue
+        lines.append(line)
     return "\n".join(lines)

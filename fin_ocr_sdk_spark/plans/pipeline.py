@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -292,9 +293,18 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
         return None
     par = spark.sparkContext.defaultParallelism
     total = sum(r["size"] for r in files)
+    slice_bytes = min(64 << 20, max(1 << 20, total // max(1, par * 8)))
     env = os.environ.get("SPARK_GRAFT_SLICE_BYTES")
-    slice_bytes = int(env) if env and int(env) > 0 else min(
-        64 << 20, max(1 << 20, total // max(1, par * 8)))
+    if env:
+        try:
+            override = int(env)
+        except ValueError:
+            warnings.warn(
+                f"ignoring non-numeric SPARK_GRAFT_SLICE_BYTES={env!r}",
+                stacklevel=2)
+        else:
+            if override > 0:
+                slice_bytes = override
     units = []
     for r in files:
         nsl = max(1, -(-int(r["size"]) // slice_bytes))

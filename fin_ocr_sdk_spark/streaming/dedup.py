@@ -46,15 +46,23 @@ STATE_SCHEMA = StructType([
 #: document whose text is literally "None" while living in a different
 #: group (a dedup miss both ways).  STATE-FORMAT NOTE: streams
 #: checkpointed before this sentinel existed recorded sha256("None")
-#: for null-text rows; resuming such a checkpoint re-emits the next
-#: null-text arrival once.  Start new streams from a fresh checkpoint
-#: (or inject one "<null>" row) when upgrading across this change.
+#: for null-text rows; _dedup_group keeps that digest as a legacy
+#: alias when loading the NULL-keyed group's state, so resuming a
+#: pre-sentinel checkpoint cannot re-emit a null-text arrival.
 _NULL_DIGEST = "<null>"
+
+#: what pre-sentinel builds recorded for null text (str(None) hashed).
+#: Safe to alias inside the NULL-keyed group only: a document whose
+#: text is literally "None" produces this digest too, but lives in the
+#: sha2('None')-prefixed group, never the NULL-keyed one.
+_LEGACY_NULL_DIGEST = hashlib.sha256(b"None").hexdigest()
 
 
 def _dedup_group(key, pdfs, state):
     import pandas as pd
     seen = set(state.get[0]) if state.exists else set()
+    if key[0] is None and _LEGACY_NULL_DIGEST in seen:
+        seen.add(_NULL_DIGEST)
     # applyInPandasWithState may deliver one group's micro-batch as
     # MULTIPLE chunks; "lowest doc_id wins inside a batch" only holds if
     # all chunks are accumulated before the single sort.

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from fin_ocr_sdk_spark.operators.html_main import extract_main_text
-from fin_ocr_sdk_spark.sources.pdf import (encode_simple_pdf,
+from fin_ocr_sdk_spark.sources.pdf import (encode_pdf_15,
+                                           encode_simple_pdf,
                                            extract_pdf_text)
 
 
@@ -42,6 +43,57 @@ def test_pdf_truncations_stay_valueerror():
             extract_pdf_text(data[:cut])
         except ValueError:
             pass
+
+
+def test_pdf_15_contents_array_objstm_xref_stream():
+    """PDF 1.5 container features: pages whose dictionaries live in an
+    object stream, /Contents as a two-stream array, and a /Type /XRef
+    cross-reference stream — same text contract as the 1.4 writer."""
+    pages = ["alpha beta\ngamma delta\nepsilon", "single line page",
+             "one\ntwo"]
+    assert extract_pdf_text(encode_pdf_15(pages)) == pages
+
+
+def test_pdf_15_truncations_stay_valueerror():
+    data = encode_pdf_15(["some words here", "and a second page\nmore"])
+    for cut in range(4, len(data), max(1, len(data) // 60)):
+        try:
+            extract_pdf_text(data[:cut])
+        except ValueError:
+            pass
+
+
+def test_pdf_15_inconsistent_xref_stream_raises():
+    """An xref stream whose /Size declares objects the payload cannot
+    cover must fail loudly (truncated-xref contract), not silently."""
+    data = encode_pdf_15(["abc", "def"])
+    import re
+    m = re.search(rb"/Type /XRef /Size (\d+)", data)
+    assert m
+    bigger = str(int(m.group(1)) + 90).encode().rjust(len(m.group(1)),
+                                                      b"9")
+    patched = data[:m.start(1)] + bigger + data[m.end(1):]
+    with pytest.raises(ValueError):
+        extract_pdf_text(patched)
+
+
+def test_pdf_latin1_contract():
+    for enc in (encode_simple_pdf, encode_pdf_15):
+        with pytest.raises(ValueError):
+            enc(["euro sign € breaks the Type1 scope"])
+    # full latin-1 range round-trips
+    pages = ["".join(chr(c) for c in range(0x20, 0x100) if c != 0x7F)]
+    assert extract_pdf_text(encode_simple_pdf(pages)) == pages
+    assert extract_pdf_text(encode_pdf_15(pages)) == pages
+
+
+def test_pdf_name_tokens_not_operators():
+    """A content-stream NAME like /Td or /Tj must be consumed whole,
+    never lexed as the bare text operator (flushing pending strings or
+    inserting line breaks)."""
+    from fin_ocr_sdk_spark.sources.pdf import _stream_text
+    assert _stream_text(b"BT /F1 12 Tf /Td /Tj (keep) Tj ET") == "keep"
+    assert _stream_text(b"BT (a) Tj /TD (b) Tj ET") == "ab"
 
 
 def test_html_chrome_dropped_content_kept():
@@ -81,6 +133,33 @@ def test_html_malformed_tags_do_not_crash_or_leak_chrome():
     out = extract_main_text(html)
     assert "Home" not in out and "About" not in out
     assert out.split("\n") == ["alpha", "beta", "gamma"]
+
+
+def test_html_density_fallback_div_soup():
+    """Pages with no semantic tags or chrome keywords anywhere fall
+    back to link-density scoring: link-list divs are dropped, text
+    divs (even with a single inline link) are kept."""
+    html = ('<body><div><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></div>'
+            "<div><div>Title Words</div>"
+            '<div>alpha beta <a href="/x">gamma</a> delta epsilon</div>'
+            "<div>zeta eta theta iota kappa</div></div>"
+            '<div><a href="/t">Terms</a> <a href="/p">Privacy</a></div>'
+            "</body>")
+    out = extract_main_text(html)
+    assert out.split("\n") == ["Title Words",
+                               "alpha beta gamma delta epsilon",
+                               "zeta eta theta iota kappa"]
+
+
+def test_html_density_fallback_not_applied_with_semantic_chrome():
+    """A page WITH semantic chrome keeps the pure tag heuristic: a
+    link-heavy block outside the chrome is content (e.g. a reference
+    list) and must survive."""
+    html = ("<body><nav><li>Home</li></nav>"
+            '<p><a href="/r1">ref one</a> <a href="/r2">ref two</a></p>'
+            "</body>")
+    assert extract_main_text(html) == "ref one ref two"
 
 
 def test_pdf_length_based_slicing_survives_delimiter_text():

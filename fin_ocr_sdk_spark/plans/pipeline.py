@@ -271,28 +271,20 @@ def media_manifest(media: DataFrame) -> DataFrame | None:
         return None
 
 
-def _media_files_df(media: DataFrame) -> DataFrame | None:
-    manifest = media_manifest(media)
-    if manifest is None:
-        return None
-    spark = media.sparkSession
-    # metadata-scale collect: one (path, size) row per part file, with
-    # sizes from the engine's distributed listing above — no driver
-    # stat loop.  Files split into sub-file row-slice units sized so
-    # each core slot sees ~8 units (stragglers bounded by one slice,
-    # not one file — whole-file units measured a 20-30% makespan tax),
-    # floored at 1 MB (don't shred small files) and capped at 64 MB
-    # (a slice's rows must fit worker memory at production part sizes).
-    # Workers derive the actual row range from the footer, so the
-    # driver never reads footers.  Size-descending order + round-robin
-    # repartition stripes big units across tasks (near-LPT balance
-    # without a custom partitioner); two waves per core slot amortize
-    # the fixed per-task python-runner cost.
-    files = manifest.collect()
-    if not files:
-        return None
-    par = spark.sparkContext.defaultParallelism
-    total = sum(r["size"] for r in files)
+#: above this many part files the slice-unit manifest stays distributed
+#: (driver LPT striping over 10^6+ rows would make the driver the
+#: bottleneck); below it, the collect is metadata-scale and the
+#: size-descending LPT stripe measurably beats hash placement at small
+#: unit counts.
+_MANIFEST_DRIVER_CAP = 100_000
+
+
+def _slice_bytes_for(total: int, par: int) -> int:
+    """Slice size: ~8 units per core slot (stragglers bounded by one
+    slice, not one file — whole-file units measured a 20-30% makespan
+    tax), floored at 1 MB (don't shred small files) and capped at
+    64 MB (a slice's rows must fit worker memory at production part
+    sizes).  SPARK_GRAFT_SLICE_BYTES overrides when valid."""
     slice_bytes = min(64 << 20, max(1 << 20, total // max(1, par * 8)))
     env = os.environ.get("SPARK_GRAFT_SLICE_BYTES")
     if env:
@@ -305,6 +297,38 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
         else:
             if override > 0:
                 slice_bytes = override
+    return slice_bytes
+
+
+def _media_files_df(media: DataFrame) -> DataFrame | None:
+    manifest = media_manifest(media)
+    if manifest is None:
+        return None
+    spark = media.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # ONE probe job decides the path: limit(cap+1) collects the whole
+    # manifest when it fits (the common case pays exactly the one job
+    # it always paid); cap+1 rows back means the manifest is too big
+    # to stripe on the driver, and the explode + hash repartition path
+    # stays entirely distributed (at 10^6+ units hash placement
+    # balances by the law of large numbers, so LPT buys nothing worth
+    # a driver round-trip of that size).
+    files = manifest.limit(_MANIFEST_DRIVER_CAP + 1).collect()
+    if not files:
+        return None
+    if len(files) > _MANIFEST_DRIVER_CAP:
+        total = int(manifest.agg(F.sum("size")).collect()[0][0])
+        return _media_files_df_distributed(manifest, total, par)
+    # metadata-scale collect: one (path, size) row per part file, with
+    # sizes from the engine's distributed listing above — no driver
+    # stat loop.  Files split into sub-file row-slice units (workers
+    # derive the actual row range from the footer, so the driver never
+    # reads footers).  Size-descending order + round-robin repartition
+    # stripes big units across tasks (near-LPT balance without a
+    # custom partitioner); two waves per core slot amortize the fixed
+    # per-task python-runner cost.
+    total = sum(r["size"] for r in files)
+    slice_bytes = _slice_bytes_for(total, par)
     units = []
     for r in files:
         nsl = max(1, -(-int(r["size"]) // slice_bytes))
@@ -315,6 +339,28 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
     return spark.createDataFrame(
         [(p, k, n) for p, k, n, _ in units],
         "path string, slice int, n_slices int").repartition(nparts)
+
+
+def _media_files_df_distributed(manifest: DataFrame, total: int,
+                                par: int) -> DataFrame:
+    """Slice-unit table for manifests too large to collect: each file
+    row explodes into its slice indices executor-side and units spread
+    by hash repartition — the driver only ever sees the 2-value agg.
+    Same (path, slice, n_slices) contract as the collected path, so
+    the scan strategy downstream is unchanged."""
+    slice_bytes = _slice_bytes_for(total, par)
+    units = (manifest
+             .withColumn(
+                 "n_slices",
+                 F.greatest(F.lit(1), F.ceil(F.col("size")
+                                             / F.lit(slice_bytes)))
+                 .cast("int"))
+             .select(
+                 "path", "n_slices",
+                 F.explode(F.sequence(
+                     F.lit(0), F.col("n_slices") - 1)).alias("slice"))
+             .select("path", "slice", "n_slices"))
+    return units.repartition(par * 2, "path", "slice")
 
 
 _RELATION_NODES = ("LogicalRelation", "DataSourceV2Relation",

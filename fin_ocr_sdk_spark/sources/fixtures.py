@@ -54,6 +54,7 @@ class CheckSpec:
     fmt: str
     dark_header: bool
     noise: bool
+    progressive: bool = False   # jpeg only: SOF2 multi-scan file
 
     @property
     def micr_clean(self) -> str:
@@ -147,8 +148,13 @@ def compose_check(spec: CheckSpec, rng: np.random.Generator) -> np.ndarray:
 
 def make_spec(i: int, rng: np.random.Generator,
               lossy: bool = True) -> CheckSpec:
+    progressive = False
     if lossy and i % 16 == 5:
         fmt = "jpeg"
+        # every other jpeg doc (i ≡ 21 mod 32) is progressive (SOF2):
+        # real scan corpora mix baseline and progressive files, and the
+        # reference accepts both via Jimp (src/util.ts:60-77)
+        progressive = i % 32 == 21
     elif lossy and i % 16 == 11:
         fmt = "gif"
     else:
@@ -157,6 +163,7 @@ def make_spec(i: int, rng: np.random.Generator,
         micr_text=make_micr_text(rng),
         skew=SKEWS[i % len(SKEWS)],
         fmt=fmt,
+        progressive=progressive,
         dark_header=(i % 7 == 3),
         noise=(i % 3 == 1),
     )
@@ -165,6 +172,14 @@ def make_spec(i: int, rng: np.random.Generator,
 def make_text_span(rng: np.random.Generator) -> str:
     n = int(rng.integers(3, 9))
     return " ".join(rng.choice(_WORDS, n))
+
+
+def _encode_progressive(img: np.ndarray) -> bytes:
+    """Grayscale image as a progressive (SOF2) JPEG at the corpus's
+    q92 — same quantized coefficients as the baseline encoder, so the
+    golden span expectations are unaffected by the container choice."""
+    from .jpeg import encode_jpeg_progressive
+    return encode_jpeg_progressive(img, 92)
 
 
 def generate_fixture_rows(n_docs: int, seed: int = 42, lossy: bool = True
@@ -199,7 +214,8 @@ def generate_fixture_rows_range(start: int, count: int, seed: int = 42,
             # metadata extraction has an independent oracle
             "width": img.shape[1],
             "height": img.shape[0],
-            "image": codecs.encode_image(img, spec.fmt),
+            "image": (_encode_progressive(img) if spec.progressive
+                      else codecs.encode_image(img, spec.fmt)),
         })
         n_text = int(rng.integers(1, 6))
         img_pos = int(rng.integers(0, n_text + 1))

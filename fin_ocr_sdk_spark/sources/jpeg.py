@@ -1,23 +1,37 @@
-"""Baseline JPEG codec — pure stdlib + NumPy (no imaging libraries).
+"""JPEG codec (baseline + progressive) — pure stdlib + NumPy (no
+imaging libraries).
 
 The reference decodes JPEG via Jimp (src/image.ts:63-87 format enum,
-src/util.ts:60-77 decode); this environment has no PIL/cv2, so the
-baseline sequential DCT process (ITU-T.81) is implemented here:
+src/util.ts:60-77 decode), which accepts both sequential and
+progressive files; this environment has no PIL/cv2, so the DCT
+processes of ITU-T.81 are implemented here:
 
-- encoder: grayscale only (what fixtures synthesize) — level shift,
-  8x8 block DCT (one einsum over all blocks), quality-scaled Annex-K
-  luminance quantization, zigzag, standard Huffman tables written as
-  DHT segments.
-- decoder: any baseline JPEG (1 or 3 components, arbitrary sampling
-  factors, DRI/RSTn, tables from the file's own DQT/DHT).  Output is
-  grayscale: for YCbCr JPEGs that is exactly the Y plane (JPEG defines
-  Y = 0.299R+0.587G+0.114B — the same weights the rest of this repo
-  uses for gray), so chroma blocks are entropy-decoded only to keep
-  the bitstream in sync and never dequantized or transformed.
+- encoders: grayscale only (what fixtures synthesize) — level shift,
+  8x8 block DCT (batched matmuls), quality-scaled Annex-K luminance
+  quantization, zigzag; ``encode_jpeg`` writes baseline SOF0 with the
+  standard Annex-K Huffman tables, ``encode_jpeg_progressive`` writes
+  a 6-scan SOF2 file (libjpeg's standard luma scan script: DC at Al=1,
+  two AC spectral bands at Al=2, an AC refinement to Al=1, the DC
+  refinement, and the final AC pass to Al=0) so the fixture corpus
+  exercises spectral selection, successive approximation, EOB runs,
+  and AC correction bits.
+- decoder: any baseline (SOF0/1) or progressive (SOF2) JPEG — 1 or 3
+  components, arbitrary sampling factors, DRI/RSTn, tables from the
+  file's own DQT/DHT.  Output is grayscale: for YCbCr JPEGs that is
+  exactly the Y plane (JPEG defines Y = 0.299R+0.587G+0.114B — the
+  same weights the rest of this repo uses for gray), so chroma blocks
+  are entropy-decoded only where interleaving requires it (DC scans)
+  and chroma-only progressive scans are skipped wholesale (their
+  entropy data ends at the next marker, so nothing downstream needs
+  them decoded).
 
-Entropy coding is the one inherently serial part; the decoder uses an
-8-bit prefix lookup table (libjpeg's trick) so common symbols cost one
-dict-free step.  All block math is vectorized NumPy.
+Entropy coding is the one inherently serial part; the decoder uses a
+16-bit prefix lookup table (libjpeg's trick) so every symbol costs one
+list index.  All block math is vectorized NumPy.  Successive
+approximation reconstructs coefficients exactly (two's-complement DC,
+sign-magnitude AC), so a completed progressive decode is bit-identical
+to the baseline decode of the same quantized coefficients — pinned by
+the round-trip tests.
 """
 
 from __future__ import annotations
@@ -202,6 +216,198 @@ def encode_jpeg(img: np.ndarray, quality: int = 92) -> bytes:
     return b"".join(parts)
 
 
+# ------------------------------------------------- progressive encoder
+
+#: AC Huffman table for progressive scans: the Annex-K table lacks the
+#: EOBn symbols (r<<4 for r=1..14) that EOB runs need, and libjpeg
+#: builds per-scan optimal tables instead.  A fixed canonical table
+#: with every symbol a progressive luma scan can emit — EOBn (15),
+#: ZRL (1), and (run<<4)|size for run 0..15 × size 1..10 (160) — all
+#: at 9 bits satisfies Kraft (176/512) and keeps the writer stateless;
+#: fixtures trade a few percent of compression for determinism.
+_PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16)
+                    for s in range(1, 11)])
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALS)   # all codes 9 bits long
+
+
+class _ProgACScan:
+    """Stateful AC-scan writer (ITU-T.81 G.1.2.2-3, structured after
+    libjpeg's jcphuff.c): EOB runs accumulate across blocks, and
+    refinement correction bits buffer until the next emitted symbol —
+    run-level bits (previous blocks of the EOB run) flush right after
+    the EOBn symbol, current-block bits right after the ZRL or
+    newly-nonzero symbol that ends their zero run."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.run_buf: list[int] = []
+
+    def _flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            rr = self.eobrun.bit_length() - 1
+            c, ln = self.ac[rr << 4]
+            self.bw.put(c, ln)
+            if rr:
+                self.bw.put(self.eobrun - (1 << rr), rr)
+            self.eobrun = 0
+            for b in self.run_buf:
+                self.bw.put(b, 1)
+            self.run_buf = []
+
+    def first_block(self, blk, band: range, al: int) -> None:
+        r = 0
+        for k in band:
+            v = int(blk[k])
+            a = (v if v >= 0 else -v) >> al
+            if a == 0:
+                r += 1
+                continue
+            self._flush_eobrun()
+            while r > 15:
+                c, ln = self.ac[0xF0]
+                self.bw.put(c, ln)
+                r -= 16
+            s = a.bit_length()
+            c, ln = self.ac[(r << 4) | s]
+            self.bw.put(c, ln)
+            t = a if v > 0 else -a
+            self.bw.put(t if t > 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eobrun()
+
+    def refine_block(self, blk, band: range, al: int) -> None:
+        absv = []
+        eob = -1
+        for idx, k in enumerate(band):
+            v = int(blk[k])
+            a = (v if v >= 0 else -v) >> al
+            absv.append(a)
+            if a == 1:
+                eob = idx
+        r = 0
+        blk_buf: list[int] = []
+        for idx, k in enumerate(band):
+            a = absv[idx]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                self._flush_eobrun()
+                c, ln = self.ac[0xF0]
+                self.bw.put(c, ln)
+                r -= 16
+                for b in blk_buf:
+                    self.bw.put(b, 1)
+                blk_buf = []
+            if a > 1:
+                blk_buf.append(a & 1)   # correction bit for old coeff
+                continue
+            self._flush_eobrun()
+            c, ln = self.ac[(r << 4) | 1]
+            self.bw.put(c, ln)
+            self.bw.put(0 if int(blk[k]) < 0 else 1, 1)
+            for b in blk_buf:
+                self.bw.put(b, 1)
+            blk_buf = []
+            r = 0
+        if r > 0 or blk_buf:
+            self.eobrun += 1
+            self.run_buf.extend(blk_buf)
+            if self.eobrun == 0x7FFF or len(self.run_buf) > 937:
+                self._flush_eobrun()   # MAX_CORR_BITS-style cap
+
+    def finish(self) -> None:
+        self._flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 92) -> bytes:
+    """Grayscale progressive (SOF2) JPEG, libjpeg's standard luma scan
+    script: DC first at Al=1; AC bands 1-5 and 6-63 first at Al=2; AC
+    1-63 refinement to Al=1; DC refinement; AC 1-63 final to Al=0.
+    Quantized coefficients are identical to ``encode_jpeg`` at the same
+    quality, so a full decode is bit-identical to the baseline file's."""
+    assert img.dtype == np.uint8 and img.ndim == 2
+    h, w = img.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    quant = _scaled_quant(quality)
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+    coef = _DCT_T @ blocks @ _DCT_T.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _ZIGZAG]      # (n_blocks, 64) zigzag order
+    zz_list = zz.tolist()                   # python ints for bit ops
+
+    dc_codes = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        prev = 0
+        for blk in zz_list:
+            val = blk[0] >> al              # arithmetic shift (T.81 G.1.2.1)
+            diff = val - prev
+            prev = val
+            s = abs(diff).bit_length()
+            c, ln = dc_codes[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return bw.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for blk in zz_list:
+            bw.put((blk[0] >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_scan(band: range, ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        sc = _ProgACScan(bw, ac_codes)
+        for blk in zz_list:
+            if ah == 0:
+                sc.first_block(blk, band, al)
+            else:
+                sc.refine_block(blk, band, al)
+        sc.finish()
+        return bw.flush()
+
+    band_lo, band_hi, band_all = range(1, 6), range(6, 64), range(1, 64)
+    scans = [
+        ((0, 0, 0, 1), dc_first(1)),
+        ((1, 5, 0, 2), ac_scan(band_lo, 0, 2)),
+        ((6, 63, 0, 2), ac_scan(band_hi, 0, 2)),
+        ((1, 63, 2, 1), ac_scan(band_all, 2, 1)),
+        ((0, 0, 1, 0), dc_refine(0)),
+        ((1, 63, 1, 0), ac_scan(band_all, 1, 0)),
+    ]
+
+    qz = quant.reshape(-1)[_ZIGZAG]
+    parts = [
+        b"\xff\xd8",                                       # SOI
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" +    # DQT
+        bytes(int(x) for x in qz),
+        b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) +  # SOF2
+        bytes([1, 0x11, 0]),
+        _dht_segment(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        _dht_segment(0x10, _PROG_AC_BITS, _PROG_AC_VALS),
+    ]
+    for (ss, se, ah, al), entropy in scans:
+        parts.append(b"\xff\xda" + struct.pack(">HB", 8, 1)
+                     + bytes([1, 0x00, ss, se, (ah << 4) | al]))
+        parts.append(entropy)
+    parts.append(b"\xff\xd9")                              # EOI
+    return b"".join(parts)
+
+
 # --------------------------------------------------------------- decoder
 
 class _HuffTable:
@@ -256,6 +462,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    prog = None          # progressive coefficient state (see _init_prog)
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -285,7 +492,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raster = np.zeros(64, dtype=np.int32)
                 raster[_ZIGZAG] = t
                 quants[tq] = raster.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -301,7 +508,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise ValueError(f"bad JPEG sampling factors {hv:#x}")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -329,18 +537,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                      f"component {cs}")
                 scan.append((matches[0], tables >> 4, tables & 0xF))
             entropy_start = pos + seg_len
-            return _decode_scan(data, entropy_start, frame, scan, quants,
-                                huff_dc, huff_ac, restart_interval)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            raise ValueError("only baseline (SOF0/1) JPEG supported")
+            if not frame["progressive"]:
+                return _decode_scan(data, entropy_start, frame, scan,
+                                    quants, huff_dc, huff_ac,
+                                    restart_interval)
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if prog is None:
+                prog = _init_prog(frame)
+            pos = _decode_prog_scan(data, entropy_start, frame, scan,
+                                    ss, se, ah, al, huff_dc, huff_ac,
+                                    restart_interval, prog)
+            continue
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                "only baseline (SOF0/1) or progressive (SOF2) JPEG "
+                "supported")
         pos += seg_len
+    if prog is not None:
+        return _finish_progressive(frame, quants, prog)
     raise ValueError("no scan data in JPEG")
 
 
-def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
-                 quants: dict, huff_dc: dict, huff_ac: dict,
-                 restart_interval: int) -> np.ndarray:
-    # split entropy data into restart segments, unstuffing 0xFF00
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split entropy-coded data starting at ``pos`` into restart
+    segments (unstuffing 0xFF00), returning (segments, end) where
+    ``end`` is the offset of the next real marker's 0xFF (or EOF)."""
     segments: list[bytes] = []
     cur = bytearray()
     i = pos
@@ -362,6 +586,13 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
         else:
             break  # EOI or next marker
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 quants: dict, huff_dc: dict, huff_ac: dict,
+                 restart_interval: int) -> np.ndarray:
+    segments, _ = _split_entropy(data, pos)
 
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -485,4 +716,302 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     if lh != hmax or lv != vmax:  # subsampled luma (rare) — nearest up
         out = np.repeat(np.repeat(out, vmax // lv, axis=0),
                         hmax // lh, axis=1)[:frame["h"], :frame["w"]]
+    return out.copy()
+
+
+# --------------------------------------------- progressive decoder path
+
+class _ScanReader:
+    """MSB-first bit reader over one 0xFF00-unstuffed restart segment —
+    the method-based reader the baseline hot path inlines away; kept as
+    a class here because progressive scans touch each coefficient once
+    per pass (the per-scan symbol counts are a fraction of baseline's)
+    and the refinement control flow would be unreadable inlined.  Reads
+    past the segment end yield zero bits, matching the baseline
+    truncated-stream behavior."""
+
+    __slots__ = ("d", "n", "pos", "acc", "nbits")
+
+    def __init__(self, seg: bytes) -> None:
+        self.d = seg
+        self.n = len(seg)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits < 32:
+            self.acc = ((self.acc << 8)
+                        | (self.d[self.pos] if self.pos < self.n else 0))
+            self.pos += 1
+            self.nbits += 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def huff(self, len16: list, sym16: list) -> int:
+        if self.nbits < 16:
+            self._fill()
+        code = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        length = len16[code]
+        if not length:
+            raise ValueError("bad Huffman code")
+        self.nbits -= length
+        return sym16[code]
+
+    def bits(self, k: int) -> int:
+        if not k:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        return (self.acc >> self.nbits) & ((1 << k) - 1)
+
+    def receive_extend(self, s: int) -> int:
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _init_prog(frame: dict) -> dict:
+    """Coefficient store for the progressive decode: the luma component
+    (frame component 0 — JPEG convention, same as the baseline path's
+    first-scan-component rule) gets an MCU-aligned block grid of
+    zigzag-ordered python lists; chroma coefficients are never stored
+    (chroma-only scans are skipped, interleaved chroma DC is decoded
+    for bitstream sync only)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    luma = frame["comps"][0]
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    bw = mcus_x * luma["h"]
+    bh = mcus_y * luma["v"]
+    return {
+        "mcus_x": mcus_x, "mcus_y": mcus_y, "bw": bw, "bh": bh,
+        "luma_id": luma["id"],
+        "blocks": [[0] * 64 for _ in range(bw * bh)],
+    }
+
+
+def _comp_block_dims(frame: dict, comp: dict) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of one component in a NON-interleaved
+    scan (T.81 A.2.2: ceil of the scaled sample dims over 8)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _ac_first(r: _ScanReader, block: list, ss: int, se: int, al: int,
+              len16: list, sym16: list, eobrun: int) -> int:
+    """AC first pass (T.81 G.1.2.2): run-length + magnitude at Al
+    precision, with EOB runs spanning blocks."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(len16, sym16)
+        rr = rs >> 4
+        s = rs & 15
+        if s:
+            k += rr
+            if k > se:
+                raise ValueError("AC coefficient past band end")
+            block[k] = r.receive_extend(s) << al
+            k += 1
+        else:
+            if rr < 15:
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += 16   # ZRL
+    return eobrun
+
+
+def _ac_refine(r: _ScanReader, block: list, ss: int, se: int, al: int,
+               len16: list, sym16: list, eobrun: int) -> int:
+    """AC refinement pass (T.81 G.1.2.3, control flow after libjpeg's
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1<<Al,
+    already-nonzero coefficients absorb one correction bit each as the
+    zero-run / EOB-run passes over them.  Python's infinite-precision
+    ints share C's two's-complement ``&`` semantics, so the
+    ``coef & p1`` history test matches bit-for-bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.huff(len16, sym16)
+            rr = rs >> 4
+            s = rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if r.bits(1) else m1
+            elif rr != 15:
+                eobrun = 1 << rr
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            while k <= se:
+                cur = block[k]
+                if cur:
+                    if r.bits(1) and not (cur & p1):
+                        block[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            cur = block[k]
+            if cur and r.bits(1) and not (cur & p1):
+                block[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data: bytes, pos: int, frame: dict, scan: list,
+                      ss: int, se: int, ah: int, al: int,
+                      huff_dc: dict, huff_ac: dict,
+                      restart_interval: int, prog: dict) -> int:
+    """Decode one progressive scan into the coefficient store and
+    return the offset of the marker after its entropy data.  Scans
+    containing no stored component (chroma-only) are skipped without
+    entropy decoding — their data ends at the next marker regardless."""
+    involves_luma = any(c["id"] == prog["luma_id"] for c, _, _ in scan)
+    if not involves_luma:
+        _, end = _split_entropy(data, pos)
+        return end
+    segments, end = _split_entropy(data, pos)
+    seg_iter = iter(segments)
+    reader = _ScanReader(next(seg_iter))
+    blocks = prog["blocks"]
+    grid_w = prog["bw"]
+
+    if ss == 0:   # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = prog["mcus_x"] * prog["mcus_y"]
+        else:
+            cbw, cbh = _comp_block_dims(frame, scan[0][0])
+            units = cbw * cbh
+        preds = [0] * len(scan)
+        plan = []
+        for comp, dc_id, ac_id in scan:
+            if ah == 0:
+                if dc_id not in huff_dc:
+                    raise ValueError("missing DC Huffman table")
+                t = huff_dc[dc_id]
+                plan.append((comp, t.len16, t.sym16))
+            else:
+                plan.append((comp, None, None))
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                nxt = next(seg_iter, None)
+                if nxt is None:
+                    raise ValueError("missing restart segment")
+                reader = _ScanReader(nxt)
+                preds = [0] * len(scan)
+            if interleaved:
+                my, mx = divmod(u, prog["mcus_x"])
+                for si, (comp, dlen, dsym) in enumerate(plan):
+                    is_luma = comp["id"] == prog["luma_id"]
+                    for j in range(comp["v"]):
+                        for kk in range(comp["h"]):
+                            if ah == 0:
+                                size = reader.huff(dlen, dsym)
+                                diff = (reader.receive_extend(size)
+                                        if size else 0)
+                                preds[si] += diff
+                                if is_luma:
+                                    bi = ((my * comp["v"] + j) * grid_w
+                                          + mx * comp["h"] + kk)
+                                    blocks[bi][0] = preds[si] << al
+                            else:
+                                bit = reader.bits(1)
+                                if is_luma and bit:
+                                    bi = ((my * comp["v"] + j) * grid_w
+                                          + mx * comp["h"] + kk)
+                                    blocks[bi][0] |= 1 << al
+            else:
+                comp, dlen, dsym = plan[0]
+                by, bx = divmod(u, cbw)
+                bi = by * grid_w + bx
+                if ah == 0:
+                    size = reader.huff(dlen, dsym)
+                    diff = reader.receive_extend(size) if size else 0
+                    preds[0] += diff
+                    blocks[bi][0] = preds[0] << al
+                else:
+                    if reader.bits(1):
+                        blocks[bi][0] |= 1 << al
+        return end
+
+    # AC scan: always single-component (T.81 B.2.3)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan in progressive JPEG")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("bad progressive spectral band")
+    comp, _, ac_id = scan[0]
+    if ac_id not in huff_ac:
+        raise ValueError("missing AC Huffman table")
+    t = huff_ac[ac_id]
+    len16, sym16 = t.len16, t.sym16
+    cbw, cbh = _comp_block_dims(frame, comp)
+    eobrun = 0
+    for u in range(cbw * cbh):
+        if restart_interval and u and u % restart_interval == 0:
+            nxt = next(seg_iter, None)
+            if nxt is None:
+                raise ValueError("missing restart segment")
+            reader = _ScanReader(nxt)
+            eobrun = 0
+        by, bx = divmod(u, cbw)
+        block = blocks[by * grid_w + bx]
+        if ah == 0:
+            eobrun = _ac_first(reader, block, ss, se, al,
+                               len16, sym16, eobrun)
+        else:
+            eobrun = _ac_refine(reader, block, ss, se, al,
+                                len16, sym16, eobrun)
+    return end
+
+
+def _finish_progressive(frame: dict, quants: dict,
+                        prog: dict) -> np.ndarray:
+    """Dequantize + IDCT the accumulated luma coefficients — the same
+    vectorized tail as the baseline path, with blocks in row-major
+    (block_y, block_x) order instead of MCU order."""
+    luma = frame["comps"][0]
+    if luma["tq"] not in quants:
+        raise ValueError("missing quantization table")
+    zz_arr = np.array(prog["blocks"], dtype=np.float64)   # zigzag order
+    raster = np.empty_like(zz_arr)
+    raster[:, _ZIGZAG] = zz_arr
+    quant = quants[luma["tq"]].reshape(-1).astype(np.float64)
+    coef = (raster * quant).reshape(-1, 8, 8)
+    spatial = _DCT_T.T @ coef @ _DCT_T
+    pix = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+    bh, bw = prog["bh"], prog["bw"]
+    plane = (pix.reshape(bh, bw, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(bh * 8, bw * 8))
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    out_h = frame["h"] * luma["v"] // vmax
+    out_w = frame["w"] * luma["h"] // hmax
+    out = plane[:out_h, :out_w]
+    if luma["h"] != hmax or luma["v"] != vmax:
+        out = np.repeat(np.repeat(out, vmax // luma["v"], axis=0),
+                        hmax // luma["h"], axis=1)[:frame["h"],
+                                                   :frame["w"]]
     return out.copy()

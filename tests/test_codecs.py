@@ -203,3 +203,58 @@ def test_minhash_band_signatures_tolerates_non_strings():
     keep, sig = band_signatures(texts)
     assert keep == [0, 3]
     assert sig.shape == (2, 4)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Successive approximation is exact at completion (two's-complement
+    DC, sign-magnitude AC), so the 6-scan progressive decode must equal
+    the baseline decode of the same image pixel-for-pixel — flat images
+    exercise long EOB runs (EOBn symbols with r>0), noisy regions
+    exercise ZRL and AC correction bits."""
+    from fin_ocr_sdk_spark.sources.jpeg import encode_jpeg_progressive
+    rng = np.random.default_rng(17)
+    cases = [
+        _check_like(rng),
+        np.full((40, 72), 200, np.uint8),                    # long EOBRUNs
+        rng.integers(0, 256, (33, 41), dtype=np.uint8),      # dense AC
+        np.zeros((1, 1), np.uint8),
+        np.linspace(0, 255, 64, dtype=np.uint8)[None, :].repeat(24, 0),
+    ]
+    for img in cases:
+        base = decode_jpeg(encode_jpeg(img, 92))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 92))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_sniff_and_dispatch():
+    from fin_ocr_sdk_spark.sources.jpeg import encode_jpeg_progressive
+    img = np.full((24, 24), 180, np.uint8)
+    data = encode_jpeg_progressive(img)
+    assert data[3] != 0xC0  # actually SOF2 somewhere in the stream
+    assert b"\xff\xc2" in data
+    out = codecs.decode_image(data)   # magic sniff: same FFD8 signature
+    assert out.shape == (24, 24)
+
+
+def test_jpeg_progressive_truncation_and_corruption_contract():
+    """Same failure contract as baseline: every truncation and random
+    single-byte corruption of a progressive file either decodes to some
+    raster or raises ValueError via codecs.decode_image — never an
+    uncaught IndexError/struct.error/StopIteration."""
+    from fin_ocr_sdk_spark.sources.jpeg import encode_jpeg_progressive
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(img, 85))
+    for cut in range(2, len(data), max(1, len(data) // 60)):
+        try:
+            codecs.decode_image(bytes(data[:cut]), "jpeg")
+        except ValueError:
+            pass
+    for _ in range(80):
+        mut = bytearray(data)
+        i = int(rng.integers(2, len(mut)))
+        mut[i] = int(rng.integers(0, 256))
+        try:
+            codecs.decode_image(bytes(mut), "jpeg")
+        except ValueError:
+            pass

@@ -262,3 +262,30 @@ def test_media_manifest_shape(spark, smoke_dir):
     # in-memory relation: no _metadata -> None
     inmem = spark.createDataFrame([("x", b"y")], "media_ref string, image binary")
     assert media_manifest(inmem) is None
+
+
+def test_manifest_distributed_path_same_spans(spark, smoke_dir,
+                                              monkeypatch):
+    """Manifests past _MANIFEST_DRIVER_CAP build slice units entirely
+    executor-side (explode + hash repartition — no driver collect of
+    the file list).  Force that path with a cap of 0 and assert the
+    scan output is identical to the collected-LPT path."""
+    from fin_ocr_sdk_spark.plans import pipeline as P
+
+    docs = spark.read.parquet(os.path.join(smoke_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(smoke_dir, "media.parquet"))
+    base = (extract_spans(docs, media).toPandas()
+            .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    monkeypatch.setattr(P, "_MANIFEST_DRIVER_CAP", 0)
+    # unit table contract holds on the distributed path
+    units = P._media_files_df(media).toPandas()
+    assert set(units.columns) == {"path", "slice", "n_slices"}
+    assert len(units) >= 16                      # >= one unit per file
+    assert (units.groupby("path")["n_slices"].nunique() == 1).all()
+    per_file = units.groupby("path")["slice"].agg(["min", "max", "count"])
+    assert (per_file["min"] == 0).all()
+    assert (per_file["max"] == per_file["count"] - 1).all()
+    got = (extract_spans(docs, media).toPandas()
+           .sort_values(["doc_id", "order"]).reset_index(drop=True))
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    pd.testing.assert_frame_equal(got[cols], base[cols])

@@ -1,0 +1,110 @@
+"""sf1.0-scale lock points for the heavy relational/training-data
+queries (minhash_dedup, dedup_exact, corpus_stats, sequence_packing).
+
+The driver ships testdata only up to sf0.1 (5,000 documents), so the
+10x point uses a deterministic synthetic documents table of the same
+shape (doc_id BIGINT, text, lang, source, n_chars; seed 137, en-skewed
+lang mix like the driver's, ~5% planted exact duplicates so dedup does
+real work).  Timings are best-of-2 in one session with rep 1 warming
+each query's own paths — the same warm-parity protocol as bench.py —
+and are recorded by hand under the PRESERVE marker in
+BENCH/BASELINE.md so scale regressions on the heavy ops are visible,
+not inferred.
+
+Usage: python scripts/bench_sf1_relational.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = 50_000
+SEED = 137
+QUERIES = ("dedup_exact", "minhash_dedup", "corpus_stats",
+           "sequence_packing")
+
+_LANGS = ("en", "en", "en", "en", "zh", "es", "fr", "de")  # driver-like skew
+_VOCAB = ("market report quarterly revenue growth product launch "
+          "analysis summary update regional forecast outlook margin "
+          "segment detail commentary risk capital liquidity trend "
+          "index sector volume earnings guidance estimate consensus "
+          "dividend buyback leverage spread duration yield curve").split()
+
+
+N_PARTS = 16   # multi-file table so Spark parallelizes the scan like a
+#                real corpus (a single file reads as 2 partitions and
+#                times the serial path, not the engine)
+
+
+def build_docs(path: str) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out = os.path.join(path, "documents.parquet")
+    if os.path.isdir(out):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    texts: list[str] = []
+    langs: list[str] = []
+    for i in range(N_DOCS):
+        if i and rng.random() < 0.05:
+            # planted exact duplicate of an earlier doc (same text AND
+            # lang) — dedup has real clusters to collapse
+            j = int(rng.integers(0, len(texts)))
+            texts.append(texts[j])
+            langs.append(langs[j])
+            continue
+        n = int(rng.integers(20, 120))
+        texts.append(" ".join(rng.choice(_VOCAB, n)))
+        langs.append(_LANGS[int(rng.integers(0, len(_LANGS)))])
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    chunk = -(-N_DOCS // N_PARTS)
+    for p in range(N_PARTS):
+        lo, hi = p * chunk, min(N_DOCS, (p + 1) * chunk)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+            "text": texts[lo:hi],
+            "lang": langs[lo:hi],
+            "source": ["synthetic-sf1"] * (hi - lo),
+            "n_chars": pa.array([len(t) for t in texts[lo:hi]],
+                                type=pa.int64()),
+        }), os.path.join(tmp, f"part-{p:05d}.parquet"))
+    os.replace(tmp, out)
+    return path
+
+
+def main() -> None:
+    from fin_ocr_sdk_spark.session import get_spark
+    from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
+
+    import __spark_entry__ as entry
+    sf_dir = build_docs(os.path.join(FIXTURE_ROOT, "docs_sf1"))
+    spark = get_spark("bench-sf1-relational", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entry.queries()
+    results: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    for name in QUERIES:
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n = qmap[name](spark, sf_dir).count()
+            walls.append(round(time.time() - t0, 3))
+        runs[name] = walls
+        results[name] = min(walls)
+        print(f"{name:20s} best {min(walls):7.3f}s  runs {walls} "
+              f"rows={n}", file=sys.stderr)
+    print(json.dumps({"n_docs": N_DOCS, "seed": SEED,
+                      "best_sec": results, "runs_sec": runs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,11 +62,28 @@ class _MainText(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.skip_depth = 0
         self.chrome_count = 0            # chrome-flagged entries open
-        self.link_depth = 0              # open <a> elements
+        self.link_depth = 0              # ACTIVE <a> elements (see below)
         self.saw_chrome = False          # any semantic chrome signal?
-        self.stack: list[tuple[str, bool]] = []
+        # entries are [tag, chrome_flag, link_active]: link_active marks
+        # an <a> still counting toward link_depth — it is neutralized
+        # (without popping) at any block boundary or new <a>, so one
+        # forgotten </a> cannot mark the whole rest of the page as link
+        # text and make the density fallback drop every block
+        self.stack: list[list] = []
         #: str entries are _BREAK sentinels; tuples are (text, in_link)
         self.parts: list = []
+
+    def _neutralize_links(self) -> None:
+        """Stop counting every open <a> as link context.  Anchor text
+        in real chrome never spans block boundaries, so for the density
+        metric a block tag implicitly ends the inline link run — an
+        unclosed <a> (ubiquitous author error) then poisons at most its
+        own block, never the document."""
+        if self.link_depth:
+            for entry in self.stack:
+                if entry[2]:
+                    entry[2] = False
+            self.link_depth = 0
 
     @staticmethod
     def _is_chrome(tag: str, attrs) -> bool:
@@ -93,7 +110,9 @@ class _MainText(HTMLParser):
             # <template> would otherwise swallow the rest of the page
             return
         flag = self._is_chrome(tag, attrs)
-        self.stack.append((tag, flag))
+        if tag in _BLOCK_TAGS or tag == "a":
+            self._neutralize_links()   # block boundary / new link run
+        self.stack.append([tag, flag, tag == "a"])
         if flag:
             self.chrome_count += 1
             self.saw_chrome = True
@@ -110,12 +129,14 @@ class _MainText(HTMLParser):
             return
         if self.skip_depth:
             return   # end tags inside a skipped subtree: ignore
+        if tag in _BLOCK_TAGS:
+            self._neutralize_links()   # block boundary ends link runs
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i][0] == tag:
-                for t, flag in self.stack[i:]:
+                for t, flag, link_active in self.stack[i:]:
                     if flag:
                         self.chrome_count -= 1
-                    if t == "a":
+                    if link_active:
                         self.link_depth -= 1
                 del self.stack[i:]
                 if not self.chrome_count and tag in _BLOCK_TAGS:

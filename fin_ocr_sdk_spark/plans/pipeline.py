@@ -375,18 +375,22 @@ def _media_files_df(media: DataFrame) -> DataFrame | None:
 
 def _media_files_df_distributed(manifest: DataFrame, total: int,
                                 par: int) -> DataFrame:
-    """Slice-unit table for manifests too large to collect: each file
-    row explodes into its slice indices executor-side and units spread
-    by hash repartition — the driver only ever sees the 2-value agg.
-    Same (path, slice, n_slices) contract as the collected path, so
-    the scan strategy downstream is unchanged."""
+    """Slice-unit table for manifests too large to stripe on the
+    driver: each file row explodes into its slice indices
+    executor-side and units spread by hash repartition.  The driver's
+    involvement is bounded by the cap — the cap+1-row probe that chose
+    this path plus the 1-value size agg — and never grows with the
+    manifest.  Same (path, slice, n_slices) contract as the collected
+    path, so the scan strategy downstream is unchanged.  The integer
+    ``div`` ceiling below MUST stay bit-identical to the collected
+    path's ``-(-size // slice_bytes)`` — the parity test compares the
+    two paths' full unit tables."""
     slice_bytes = _slice_bytes_for(total, par)
     units = (manifest
              .withColumn(
                  "n_slices",
-                 F.greatest(F.lit(1), F.ceil(F.col("size")
-                                             / F.lit(slice_bytes)))
-                 .cast("int"))
+                 F.expr(f"CAST(greatest(1, (size + {slice_bytes - 1}) "
+                        f"div {slice_bytes}) AS INT)"))
              .select(
                  "path", "n_slices",
                  F.explode(F.sequence(

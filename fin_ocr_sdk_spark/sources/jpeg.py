@@ -498,6 +498,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG supported")
             if fh < 1 or fw < 1:
                 raise ValueError("bad JPEG frame dimensions")
+            # allocation guard: the decoder materializes the full luma
+            # coefficient store up front (numpy floats on the baseline
+            # path, python lists on the progressive path), so a single
+            # corrupted dimension byte could demand gigabytes before
+            # any entropy data is validated — and MemoryError is not in
+            # decode_image's ValueError contract.  33 MP (2^25 px) is
+            # ~16x any plausible check scan; reject beyond it.
+            if fh * fw > (1 << 25):
+                raise ValueError(
+                    f"JPEG frame {fw}x{fh} exceeds the 33 MP decode "
+                    "limit")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]

@@ -43,12 +43,28 @@ N_PARTS = 16   # multi-file table so Spark parallelizes the scan like a
 
 
 def build_docs(path: str) -> str:
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     out = os.path.join(path, "documents.parquet")
-    if os.path.isdir(out):
-        return path
+    # cache keyed by a generation manifest (same convention as the
+    # fixture corpus): any change to the knobs below regenerates, so
+    # the 10x lock rows in BENCH/BASELINE.md always describe the corpus
+    # this script currently writes
+    manifest_path = os.path.join(path, "MANIFEST.json")
+    want = {"n_docs": N_DOCS, "seed": SEED, "n_parts": N_PARTS,
+            "dup_rate": 0.05,
+            "vocab_sha": hashlib.sha256(
+                " ".join(_VOCAB).encode()).hexdigest()[:16],
+            "langs": "".join(_LANGS)}
+    if os.path.isdir(out) and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == want:
+                return path
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(SEED)
     texts: list[str] = []
@@ -78,6 +94,8 @@ def build_docs(path: str) -> str:
                                 type=pa.int64()),
         }), os.path.join(tmp, f"part-{p:05d}.parquet"))
     os.replace(tmp, out)
+    with open(manifest_path, "w") as f:
+        json.dump(want, f)
     return path
 
 

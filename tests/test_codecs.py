@@ -258,3 +258,22 @@ def test_jpeg_progressive_truncation_and_corruption_contract():
             codecs.decode_image(bytes(mut), "jpeg")
         except ValueError:
             pass
+
+
+def test_jpeg_frame_size_cap_is_valueerror():
+    """A corrupted SOF dimension (e.g. height byte flip to 0xFF18)
+    would otherwise allocate the full coefficient store — gigabytes of
+    lists on the progressive path — before any entropy validation;
+    MemoryError is not in decode_image's ValueError contract, so
+    oversized frames must be rejected at the header."""
+    from fin_ocr_sdk_spark.sources.jpeg import encode_jpeg_progressive
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        data = bytearray(enc(np.full((16, 16), 128, np.uint8)))
+        sof = data.find(b"\xff\xc0")
+        if sof == -1:
+            sof = data.find(b"\xff\xc2")
+        # SOF payload: len(2) precision(1) height(2) width(2)
+        data[sof + 5:sof + 7] = b"\xff\x18"   # height 65304
+        data[sof + 7:sof + 9] = b"\xff\x18"   # width 65304
+        with pytest.raises(ValueError, match="33 MP"):
+            decode_jpeg(bytes(data))

@@ -181,3 +181,21 @@ def test_html_unclosed_chrome_inside_skipped_subtree():
     assert extract_main_text(html) == "hello"
     html2 = "<body><noscript><div class='menu-x'></noscript><p>w</p></body>"
     assert extract_main_text(html2) == "w"
+
+
+def test_html_unclosed_anchor_poisons_one_block_only():
+    """A forgotten </a> on a no-chrome page must not mark the whole
+    rest of the document as link text: block boundaries neutralize open
+    link runs, so the density fallback drops at most the anchor's own
+    block."""
+    html = ('<body><a href="/logo">site'
+            "<div>Actual article text with many words here</div>"
+            "<div>More real content text</div></body>")
+    out = extract_main_text(html)
+    # "site" is the anchor's own block (pure link text → dropped); both
+    # content blocks survive because the <div> boundary neutralized the
+    # unclosed link run
+    assert out.split("\n") == [
+        "Actual article text with many words here",
+        "More real content text",
+    ]

@@ -1215,9 +1215,10 @@ def _pdf_docs_path() -> str:
     escapes ``( ) \\`` and multi-line layout, every third document
     stored with uncompressed content streams, every fourth written as
     a PDF 1.5 file (object-stream page dicts, /Contents arrays, xref
-    stream).  The golden per-page text is recorded AT COMPOSE TIME, so
-    the extractor is checked against what was written, not against
-    itself."""
+    stream), and every sixth (when not 1.5) using hex string literals
+    instead of ``(...)`` text strings.  The golden per-page text is
+    recorded AT COMPOSE TIME, so the extractor is checked against what
+    was written, not against itself."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1225,7 +1226,7 @@ def _pdf_docs_path() -> str:
     from fin_ocr_sdk_spark.sources.pdf import (encode_pdf_15,
                                                encode_simple_pdf)
     from fin_ocr_sdk_spark.sources.tables import FIXTURE_ROOT
-    path = os.path.join(FIXTURE_ROOT, "pdf_docs_v2.parquet")
+    path = os.path.join(FIXTURE_ROOT, "pdf_docs_v3.parquet")
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(17)
@@ -1246,7 +1247,8 @@ def _pdf_docs_path() -> str:
         if i % 4 == 0:
             blobs.append(encode_pdf_15(pages))
         else:
-            blobs.append(encode_simple_pdf(pages, compress=(i % 3 != 0)))
+            blobs.append(encode_simple_pdf(pages, compress=(i % 3 != 0),
+                                           hex_strings=(i % 6 == 1)))
         ids.append(f"pdf-{i:04d}")
         goldens.append(pages)
     os.makedirs(FIXTURE_ROOT, exist_ok=True)

@@ -15,7 +15,11 @@ text-showing operators:
 - ``[(a) -120 (b) ...] TJ`` — array form with kerning numbers
   (numbers are positioning, not text — skipped);
 - ``Td/TD/T*`` — treated as line breaks for layout flattening;
-- string escapes ``\\( \\) \\\\ \\n \\r \\t`` and octal ``\\ddd``;
+- string escapes ``\\( \\) \\\\ \\n \\r \\t``, octal ``\\ddd``, and
+  backslash-newline line continuations (no character, spec §7.3.4.2);
+- hex string literals ``<48656C6C6F>`` (whitespace ignored, odd digit
+  counts padded with an implicit trailing 0, ``<<`` correctly lexed as
+  a dictionary open, never a string);
 - ``/Name`` tokens are consumed whole, so a content-stream name like
   ``/Td`` can never be mistaken for the ``Td`` operator;
 - ``/Contents`` may be a single reference or an array of references
@@ -51,13 +55,17 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_stream(text: str) -> str:
+def _page_stream(text: str, hex_strings: bool = False) -> str:
     lines = text.split("\n")
     parts = ["BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
             parts.append("0 -14 Td")
-        parts.append(f"({_pdf_escape(line)}) Tj")
+        if hex_strings:
+            parts.append(
+                "<" + _latin1(line).hex().upper() + "> Tj")
+        else:
+            parts.append(f"({_pdf_escape(line)}) Tj")
     parts.append("ET")
     return " ".join(parts)
 
@@ -72,11 +80,14 @@ def _latin1(text: str) -> bytes:
             f"no CMaps): {e}") from e
 
 
-def encode_simple_pdf(pages: "list[str]", compress: bool = True) -> bytes:
+def encode_simple_pdf(pages: "list[str]", compress: bool = True,
+                      hex_strings: bool = False) -> bytes:
     """One page per input string; lines within a page split on \\n and
-    emitted as successive Tj runs separated by Td line moves.  Page
-    text must be latin-1 (raises ValueError otherwise — see module
-    docstring)."""
+    emitted as successive Tj runs separated by Td line moves — as
+    literal ``(...)`` strings, or hex ``<...>`` strings when
+    ``hex_strings`` (both forms are everywhere in real producers).
+    Page text must be latin-1 (raises ValueError otherwise — see
+    module docstring)."""
     objs: list[bytes] = []
 
     def obj(body: bytes) -> int:
@@ -87,7 +98,7 @@ def encode_simple_pdf(pages: "list[str]", compress: bool = True) -> bytes:
                    b"/BaseFont /Helvetica >>")
     content_nums = []
     for text in pages:
-        stream = _latin1(_page_stream(text))
+        stream = _latin1(_page_stream(text, hex_strings))
         if compress:
             stream = zlib.compress(stream)
             head = (b"<< /Length " + str(len(stream)).encode()
@@ -285,6 +296,10 @@ def _decode_pdf_string(raw: bytes) -> str:
                     digits += chr(raw[i])
                     i += 1
                 out.append(chr(int(digits, 8)))
+            elif c in (0x0A, 0x0D):  # \<newline>: line continuation —
+                # contributes NO character (spec §7.3.4.2); \r\n is one
+                if c == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
             else:
                 out.append(chr(c))   # \( \) \\ and unknown escapes
         else:
@@ -326,6 +341,24 @@ def _tokenize_content(data: bytes):
                 buf.append(c)
                 j += 1
             yield ("str", _decode_pdf_string(bytes(buf)))
+            i = j + 1
+        elif b == 0x3C:  # < — hex string, or << dictionary open
+            if i + 1 < n and data[i + 1] == 0x3C:
+                i += 2            # << : not a string token
+                continue
+            j = i + 1
+            digits = []
+            while j < n and data[j] != 0x3E:
+                c = data[j]
+                if (0x30 <= c <= 0x39 or 0x41 <= c <= 0x46
+                        or 0x61 <= c <= 0x66):
+                    digits.append(chr(c))
+                j += 1            # whitespace inside hex ignored (spec)
+            if len(digits) % 2:
+                digits.append("0")   # odd count: implicit trailing 0
+            yield ("str", "".join(
+                chr(int(digits[k] + digits[k + 1], 16))
+                for k in range(0, len(digits), 2)))
             i = j + 1
         elif b == 0x2F:  # / — consume the full name token, yield nothing
             j = i + 1

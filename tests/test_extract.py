@@ -199,3 +199,21 @@ def test_html_unclosed_anchor_poisons_one_block_only():
         "Actual article text with many words here",
         "More real content text",
     ]
+
+
+def test_pdf_hex_strings_and_line_continuations():
+    """Real-producer string forms: hex literals <48...> (whitespace
+    ignored, odd digit count padded, << stays a dict open) and
+    backslash-newline continuations contributing no character."""
+    from fin_ocr_sdk_spark.sources.pdf import _stream_text
+    pages = ["alpha beta\ngamma (paren) \\ back", "second page"]
+    for compress in (True, False):
+        data = encode_simple_pdf(pages, compress=compress,
+                                 hex_strings=True)
+        assert extract_pdf_text(data) == pages
+    assert b"> Tj" in data     # last iteration uncompressed: visible
+    # whitespace inside hex + odd digit count (trailing 0 implied)
+    assert _stream_text(b"BT <48 65\n6C6C 6F2> Tj ET") == "Hello "
+    # line continuation: no character; \r\n counts as one newline
+    assert _stream_text(b"BT (ab\\\ncd) Tj ET") == "abcd"
+    assert _stream_text(b"BT (ab\\\r\ncd) Tj ET") == "abcd"

@@ -63,6 +63,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for expensive downstream work
+    (guide §2.5/§4): a single-row-group parquet file scans as ONE task
+    no matter how many cores the cluster has — Spark splits files by
+    byte ranges but a row group belongs to exactly one split — so an
+    opaque Python kernel downstream of such a scan serializes on one
+    core.  When the scan yields fewer partitions than the cluster's
+    parallelism, hash-repartition by the row key (deterministic under
+    task retry, unlike round-robin of a non-deterministic input —
+    guide §2.5); when the input is already wide (the 100 TB case:
+    thousands of files/row groups) this is a NO-OP, so nothing here is
+    tuned to local mode.  The shuffle moves only the projected columns
+    the caller kept."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def _fxdf(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.parquet(_fx(table))
 
@@ -327,7 +346,8 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Referencing a split() expression inside array-lambda element
     accesses re-evaluates the regex per element — a 20x+ slowdown —
     so every text op indexes this projected column instead."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"),
+                "doc_id")
     toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     return d.select("doc_id", toks.alias("t"))
 
@@ -445,18 +465,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing in more than _JACCARD_DF_CAP documents are dropped before
     pairing — a hot stopword-like shingle in k docs would otherwise
     emit k² join rows (the classic skew blowup at corpus scale)."""
+    # Single evaluation of the shingle explode by construction (guide
+    # §2.4): the round-5 plan evaluated the explode subtree once per
+    # consumer (DF agg, semi-join probe, both self-join sides).
+    # Collecting each surviving gram's doc list in ONE aggregation and
+    # exploding the pairs out of it keeps one consumer above the
+    # explode and removes the self-join shuffle; grams are distinct per
+    # doc, so size(ids) is the same document frequency the cap checked,
+    # and the double explode is bounded by cap² rows per gram exactly
+    # like the capped self-join was.
     grams = _shingles(spark, sf_dir)
-    kept = (grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= _JACCARD_DF_CAP)
-            .select("gram"))
-    grams = grams.join(kept, "gram", "semi")
-    a = grams.alias("a")
-    b = grams.alias("b")
-    return (a.join(b, (F.col("a.gram") == F.col("b.gram"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
+    grp = (grams.groupBy("gram")
+           .agg(F.collect_list("doc_id").alias("ids"))
+           .filter(F.size("ids") <= _JACCARD_DF_CAP))
+    return (grp.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared_ngrams"))
             .filter(F.col("shared_ngrams") >= 3))
 
@@ -478,6 +503,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("band", IntegerType()),
         StructField("sig", LongType()),
     ])
+    d = _spread(d, "doc_id")  # the kernel below is the expensive part
     def compute(batches):
         for pdf in batches:
             keep, sig = _mh.band_signatures(list(pdf["text"]))
@@ -501,18 +527,24 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster would otherwise square inside its bucket).  The
     hash chain is portable polynomial arithmetic, so a DuckDB twin
     verifies the exact pair set."""
+    # Single kernel evaluation by construction (guide §2.4): the round-6
+    # before-plan showed the signature MapInPandas evaluated FOUR times
+    # (bucket-size agg, semi-join probe, both self-join sides — Spark
+    # plans each consumer's subtree independently).  Collecting each
+    # band bucket's member list in ONE aggregation and exploding the
+    # pairs out of it keeps exactly one consumer above the kernel and
+    # replaces the self-join shuffle outright; a doc appears at most
+    # once per (band, sig), so size(ids) is the same bucket cardinality
+    # the cap checked before, and the double explode is bounded by
+    # cap² rows per bucket exactly like the capped self-join was.
     bands = _minhash_bands(spark, sf_dir)
-    small = (bands.groupBy("band", "sig")
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") <= _MINHASH_BUCKET_CAP)
-             .select("band", "sig"))
-    bands = bands.join(small, ["band", "sig"], "semi")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")).distinct())
+    grp = (bands.groupBy("band", "sig")
+           .agg(F.collect_list("doc_id").alias("ids"))
+           .filter(F.size("ids") <= _MINHASH_BUCKET_CAP))
+    return (grp.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +563,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.schema["doc_id"],  # id type follows the source table
         StructField("simhash64", LongType()),
     ])
+    d = _spread(d, "doc_id")  # the kernel below is the expensive part
     sel = np.array([i // 16 for i in range(64)])
     shift = np.array([i % 16 for i in range(64)], dtype=np.int64)
     weights = np.array([1 << i for i in range(63)], dtype=np.int64)
@@ -604,13 +637,27 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms = np.linalg.norm(vecs, axis=1)
             sims = (vecs @ q_mat.T) / np.outer(norms, q_norm)  # (N, Q)
             n, qn = sims.shape
-            yield pd.DataFrame({
-                "query_id": np.repeat(q_ids[None, :], n, axis=0).ravel(),
-                "vec_id": np.repeat(ids, qn),
-                "sim": sims.ravel(),
-            })
+            # Partial top-k per batch (guide §2.3: aggregate before you
+            # shuffle): the global top-5 per query is a subset of each
+            # batch's top-5 per query under the SAME total order
+            # (sim desc, vec_id asc), so emitting only batch winners
+            # cuts the exchange feeding the final window by ~N/k while
+            # the window's result is unchanged.  Self-matches are
+            # excluded HERE, before the cut — a self row occupying a
+            # batch slot could otherwise push a global-top-5 row out.
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            for j in range(qn):
+                valid = np.flatnonzero(ids != q_ids[j])
+                order = valid[np.lexsort((ids[valid], -sims[valid, j]))]
+                top = order[:5]
+                out["query_id"].append(np.full(len(top), q_ids[j]))
+                out["vec_id"].append(ids[top])
+                out["sim"].append(sims[top, j])
+            yield pd.DataFrame({k: np.concatenate(v) if v else
+                                np.array([], dtype=np.int64)
+                                for k, v in out.items()})
 
-    scored = (e.mapInPandas(score, schema)
+    scored = (_spread(e, "vec_id").mapInPandas(score, schema)
               .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("vec_id"))
@@ -664,7 +711,8 @@ def _lsh_bands_df(e: DataFrame, n_planes: int = 8) -> DataFrame:
                               * pows).sum(axis=2).reshape(-1)}
             yield pd.DataFrame(out)
 
-    return e.select("vec_id", "embedding").mapInPandas(compute, schema)
+    return (_spread(e.select("vec_id", "embedding"), "vec_id")
+            .mapInPandas(compute, schema))
 
 
 def _lsh_buckets_df(e: DataFrame) -> DataFrame:
@@ -834,7 +882,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid_id": seed_ids[e4.argmax(axis=1)],
             })
 
-    assignments = e.mapInPandas(assign, assign_schema)
+    assignments = _spread(e, "vec_id").mapInPandas(assign, assign_schema)
 
     # probe table: 8x8 integer cosines on the driver (seeds only)
     e4s = _cos_e4_to_seeds(ws, ws)
@@ -897,18 +945,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Single kernel evaluation by construction — same restructure as
+    # q_minhash_dedup: collect each (band, bucket) cell's member list
+    # in one aggregation, explode the capped pairs out of it (a vector
+    # appears at most once per cell, so size(ids) is the cell
+    # cardinality the cap checked before).
     b = _lsh_bands_df(e, _NEAR_DUP_PLANES)
-    small = (b.groupBy("band", "bucket")
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") <= _EMB_BUCKET_CAP)
-             .select("band", "bucket"))
-    b = b.join(small, ["band", "bucket"], "semi")
-    cand = (b.alias("a").join(b.alias("b"),
-                              (F.col("a.band") == F.col("b.band"))
-                              & (F.col("a.bucket") == F.col("b.bucket"))
-                              & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b")).distinct())
+    grp = (b.groupBy("band", "bucket")
+           .agg(F.collect_list("vec_id").alias("ids"))
+           .filter(F.size("ids") <= _EMB_BUCKET_CAP))
+    cand = (grp.select(F.explode("ids").alias("vec_a"), "ids")
+            .select("vec_a", F.explode("ids").alias("vec_b"))
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
     ea = e.select(F.col("vec_id").alias("vec_a"),
                   F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"),
@@ -976,7 +1025,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     media = _fxdf(spark, "media").select("media_ref", "format", "image")
-    return media.mapInPandas(thumbs, schema)
+    return _spread(media, "media_ref").mapInPandas(thumbs, schema)
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,7 +1062,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune the golden width/height columns: the UDF must derive
     # dimensions from the bytes alone (that is what the oracle checks)
     media = _fxdf(spark, "media").select("media_ref", "format", "image")
-    return media.mapInPandas(meta, schema)
+    return _spread(media, "media_ref").mapInPandas(meta, schema)
 
 
 _X9_N_ITEMS = 400
@@ -1453,7 +1502,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "text"), "doc_id")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     shard = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271)
              % F.lit(2147483647) % F.lit(_PACK_SHARDS)).cast("long")
@@ -1529,7 +1579,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan survives a corpus where one language is half the data.
     The approx path would swap in approx_percentile without changing
     the output contract."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                      "text"), "doc_id")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     base = d.select("lang", toks.alias("n_tokens"))
     # Distributable shape: aggregate to the (lang, n_tokens) -> cnt

@@ -202,15 +202,36 @@ def _sep_filter_u8(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     r = len(w) // 2
     h, width = img.shape
 
+    # symmetric taps pair up: (sl_i + sl_j) * w_i == sl_i*w_i + sl_j*w_j
+    # when w_i == w_j, and uint16 sums commute exactly (no intermediate
+    # overflow: 2*w_i <= sum(w) <= 257 so 510*w_i < 2^16), so pairing
+    # halves the multiplies with a bit-identical result.  The overflow
+    # trim above can break symmetry (it decrements one of the taps);
+    # pair only while the mirror weights still match.
+    sym = bool(np.all(w == w[::-1]))
+
     def one_axis(src: np.ndarray, horizontal: bool) -> np.ndarray:
         pad = ((0, 0), (r, r)) if horizontal else ((r, r), (0, 0))
         padded = np.pad(src, pad, mode="reflect")
         acc = np.zeros(src.shape, dtype=np.uint16)
         scratch = np.empty(src.shape, dtype=np.uint16)
-        for i in range(len(w)):
-            sl = (padded[:, i:i + width] if horizontal
-                  else padded[i:i + h, :])
-            np.multiply(sl, w[i], out=scratch, dtype=np.uint16)
+        pair_sum = np.empty(src.shape, dtype=np.uint16)
+        n = len(w)
+
+        def tap(i):
+            return (padded[:, i:i + width] if horizontal
+                    else padded[i:i + h, :])
+
+        taps = range(n)
+        if sym:
+            for i in range(n // 2):
+                np.add(tap(i), tap(n - 1 - i), out=pair_sum,
+                       dtype=np.uint16)
+                np.multiply(pair_sum, w[i], out=scratch, dtype=np.uint16)
+                acc += scratch
+            taps = [n // 2] if n % 2 else []
+        for i in taps:
+            np.multiply(tap(i), w[i], out=scratch, dtype=np.uint16)
             acc += scratch
         acc += half
         np.floor_divide(acc, int(w.sum()), out=acc)
@@ -412,15 +433,21 @@ def _shear_rows_cubic(img: np.ndarray, shifts: np.ndarray) -> np.ndarray:
     padded = np.pad(img.astype(np.float32), ((0, 0), (margin, margin)),
                     mode="edge")
     out = np.empty((h, w), dtype=np.float32)
-    for i in range(h):
-        base = margin + int(k[i]) - 1
-        row = padded[i]
-        wrow = lut[q[i]]
-        seg = row[base:base + w] * wrow[0]
-        seg += row[base + 1:base + 1 + w] * wrow[1]
-        seg += row[base + 2:base + 2 + w] * wrow[2]
-        seg += row[base + 3:base + 3 + w] * wrow[3]
-        out[i] = seg
+    # rows sharing an integer shift form contiguous runs (the rotation
+    # caller passes a*(ys - cy), monotonic in y; the cut logic only
+    # assumes equal k WITHIN a run), so each tap is one contiguous 2-D
+    # slice per run instead of a python-loop row at a time — same
+    # values, same tap-order adds, bit-identical output
+    cuts = np.nonzero(np.diff(k))[0] + 1
+    r0s = np.concatenate([[0], cuts])
+    r1s = np.concatenate([cuts, [h]])
+    for r0, r1 in zip(r0s, r1s):
+        base = margin + int(k[r0]) - 1
+        wblk = lut[q[r0:r1]]                       # (run, 4)
+        acc = padded[r0:r1, base:base + w] * wblk[:, 0:1]
+        for j in range(1, 4):
+            acc += padded[r0:r1, base + j:base + j + w] * wblk[:, j:j + 1]
+        out[r0:r1] = acc
     return out
 
 
@@ -431,28 +458,48 @@ def _rotate_shear(img: np.ndarray, angle_deg: float, y0: int, y1: int
     th = math.radians(angle_deg)
     a = -math.tan(th / 2)
     b = math.sin(th)
-    ys_full = np.arange(h, dtype=np.float32)
-    # pass 1: x-shear over all rows (cheap slices)
-    g1 = _shear_rows_cubic(img, a * (ys_full - cy))
-    # pass 2: y-shear, only output rows [y0, y1): 4 gathers
     xs = np.arange(w, dtype=np.float32)
     sy = b * (xs - cx)  # per-column source row offset
     k = np.floor(sy).astype(np.int32)
     t = (sy - k).astype(np.float32)
+    # pass 1: x-shear — only the source rows pass 2 will read.  The
+    # y-shear gathers rows y + k[col] + j - 1, y in [y0, y1), j in
+    # 0..3, so rows outside [y0 + min(k) - 1, y1 + max(k) + 2) are
+    # computed and thrown away; for the fused bottom-band crop that is
+    # ~60% of the image.  Row values are identical — only which rows
+    # get computed changes — so the output is bit-for-bit the same.
+    lo = max(0, y0 + int(k.min()) - 1)
+    hi = min(h, y1 + int(k.max()) + 2)
+    ys_p1 = np.arange(lo, hi, dtype=np.float32)
+    g1 = _shear_rows_cubic(img[lo:hi], a * (ys_p1 - cy))
+    # pass 2: y-shear, only output rows [y0, y1).  sy is monotonic in
+    # x, so columns sharing a k value form CONTIGUOUS runs and each
+    # (run, j) term reads a contiguous row block of g1 — plain slices
+    # replace the flat element gather (same values, same j-order adds,
+    # so the output is bit-identical; the gather's per-element index
+    # arithmetic was the rotation's single largest cost).
     lut = _cubic_lut()
     q = np.rint(t * _CUBIC_LEVELS).astype(np.int32)
     wy = lut[q]  # (w, 4)
-    ys_band = np.arange(y0, y1, dtype=np.int32)[:, None]
-    flat = g1.ravel()
-    out2 = np.zeros((y1 - y0, w), dtype=np.float32)
-    scratch = np.empty_like(out2)
-    col_ix = np.arange(w, dtype=np.int32)[None, :]
-    for j in range(4):
-        rows = np.clip(ys_band + (k[None, :] + j - 1), 0, h - 1)
-        idx = rows * np.int32(w) + col_ix
-        np.take(flat, idx, out=scratch.view())
-        scratch *= wy[None, :, j][0]
-        out2 += scratch
+    nb = y1 - y0
+    cuts = np.nonzero(np.diff(k))[0] + 1
+    c0s = np.concatenate([[0], cuts])
+    c1s = np.concatenate([cuts, [w]])
+    out2 = np.empty((nb, w), dtype=np.float32)
+    for c0, c1 in zip(c0s, c1s):
+        kv = int(k[c0])
+        acc = np.zeros((nb, c1 - c0), dtype=np.float32)
+        for j in range(4):
+            r0 = y0 + kv + j - 1
+            if 0 <= r0 and r0 + nb <= h:
+                blk = g1[r0 - lo:r0 - lo + nb, c0:c1]
+            else:
+                # replicate clamp against the FULL image bounds; the
+                # clamped row stays inside [lo, hi) by construction
+                ridx = np.clip(np.arange(r0, r0 + nb), 0, h - 1) - lo
+                blk = g1[ridx, c0:c1]
+            acc += blk * wy[c0:c1, j]
+        out2[:, c0:c1] = acc
     # pass 3: x-shear on the band
     ys2 = np.arange(y0, y1, dtype=np.float32)
     out3 = _shear_rows_cubic(out2, a * (ys2 - cy))
@@ -661,12 +708,23 @@ class Region:
 
 def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected component labeling of set (non-zero) pixels.
+    Returns (labels, count); see :func:`_label_runs`."""
+    labels, count, _runs = _label_runs(binary)
+    return labels, count
+
+
+def _label_runs(binary: np.ndarray):
+    """8-connected component labeling of set (non-zero) pixels.
 
     Row-run union-find, O(runs) — ALL runs are extracted in one
     vectorized diff over the row-padded flat mask (no per-row python),
     matched against the previous row's runs with a two-pointer sweep,
-    and painted back via a cumsum delta.  Returns (labels, count) where
-    labels is int32 with 0 = background, 1..count = components.
+    and painted back via a cumsum delta.  Returns (labels, count, runs)
+    where labels is int32 with 0 = background, 1..count = components,
+    and runs = (rows, x0s, x1s, final) describes every horizontal run
+    (x1 exclusive) with its dense component label — the run table lets
+    :func:`find_regions` build bounding rects without re-scanning
+    pixels.
     """
     h, w = binary.shape
     labels = np.zeros((h, w), dtype=np.int32)
@@ -681,7 +739,8 @@ def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
         starts = np.concatenate([[0], starts])
     n = len(starts)
     if n == 0:
-        return labels, 0
+        empty = np.zeros(0, dtype=np.int64)
+        return labels, 0, (empty, empty, empty, empty)
     stride = w + 1
     rows = starts // stride
     x0s = starts - rows * stride
@@ -746,34 +805,39 @@ def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     np.add.at(delta, starts, final)
     np.add.at(delta, ends, -final)
     labels = np.cumsum(delta[:-1]).reshape(h, stride)[:, :w].astype(np.int32)
-    return labels, len(uniq)
+    return labels, len(uniq), (rows, x0s, x1s, final.astype(np.int64))
 
 
 def find_regions(binary: np.ndarray, sort_by_x: bool = True) -> list[Region]:
     """Connected components → Region list, sorted left-to-right and
     re-indexed (the reference's getContours contract,
-    src/image.ts:416-446)."""
-    labels, count = label_components(binary)
+    src/image.ts:416-446).  Bounding rects and pixel counts are
+    aggregated from the labeler's RUN table (min/max/sum per label via
+    one reduceat each) — runs are a small fraction of pixels, so this
+    replaces the previous full-image nonzero + argsort pass with
+    identical integer results."""
+    labels, count, (rows, x0s, x1s, final) = _label_runs(binary)
     if count == 0:
         return []
-    flat = labels.ravel()
-    nz = flat > 0
-    idxs = np.nonzero(nz)[0]
-    labs = flat[idxs]
-    ys, xs = np.divmod(idxs, binary.shape[1])
-    order = np.argsort(labs, kind="stable")
-    labs_s, xs_s, ys_s = labs[order], xs[order], ys[order]
-    bounds = np.searchsorted(labs_s, np.arange(1, count + 2))
+    order = np.argsort(final, kind="stable")
+    f_s = final[order]
+    rows_s, x0_s, x1_s = rows[order], x0s[order], x1s[order]
+    lens_s = x1_s - x0_s
+    bounds = np.searchsorted(f_s, np.arange(1, count + 2))
+    seg = bounds[:-1]
+    min_x = np.minimum.reduceat(x0_s, seg)
+    max_x = np.maximum.reduceat(x1_s, seg) - 1   # x1 exclusive
+    min_y = np.minimum.reduceat(rows_s, seg)
+    max_y = np.maximum.reduceat(rows_s, seg)
+    n_px = np.add.reduceat(lens_s, seg)
     regions: list[Region] = []
     for lab in range(1, count + 1):
-        a, b = bounds[lab - 1], bounds[lab]
-        rx, ry = xs_s[a:b], ys_s[a:b]
-        x0, x1 = int(rx.min()), int(rx.max())
-        y0, y1 = int(ry.min()), int(ry.max())
-        rect = (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+        i = lab - 1
+        rect = (int(min_x[i]), int(min_y[i]),
+                int(max_x[i] - min_x[i] + 1), int(max_y[i] - min_y[i] + 1))
         regions.append(Region(
             idx=-1, rect=rect, area=rect[2] * rect[3],
-            area2=float(b - a), label=lab, labels=labels))
+            area2=float(n_px[i]), label=lab, labels=labels))
     if sort_by_x:
         regions.sort(key=lambda r: r.rect[0])
     for i, r in enumerate(regions):

@@ -147,26 +147,26 @@ def decode_bmp(data: bytes) -> np.ndarray:
             np.round(palette @ np.array([0.114, 0.587, 0.299])), 0, 255
         ).astype(np.uint8)
         row_size = (w + 3) & ~3
-        out = np.zeros((h, w), dtype=np.uint8)
-        for i in range(h):
-            y = i if top_down else h - 1 - i
-            row = np.frombuffer(
-                data[pixel_offset + i * row_size:
-                     pixel_offset + i * row_size + w], dtype=np.uint8)
-            out[y] = gray_palette[row]
-        return out
+        # one frombuffer over the whole pixel region (a short buffer
+        # raises ValueError on reshape, same error contract as the old
+        # per-row loop), strip the 4-byte row padding, then one palette
+        # gather; bottom-up files are a view flip
+        px = np.frombuffer(
+            data[pixel_offset:pixel_offset + row_size * h],
+            dtype=np.uint8).reshape(h, row_size)[:, :w]
+        out = gray_palette[px if top_down else px[::-1]]
+        return np.ascontiguousarray(out)
     if bpp == 24:
         row_size = (w * 3 + 3) & ~3
-        out = np.zeros((h, w), dtype=np.uint8)
         wts = np.array([0.114, 0.587, 0.299])  # BGR order
-        for i in range(h):
-            y = i if top_down else h - 1 - i
-            row = np.frombuffer(
-                data[pixel_offset + i * row_size:
-                     pixel_offset + i * row_size + w * 3],
-                dtype=np.uint8).reshape(w, 3)
-            out[y] = np.clip(np.round(row @ wts), 0, 255).astype(np.uint8)
-        return out
+        px = np.frombuffer(
+            data[pixel_offset:pixel_offset + row_size * h],
+            dtype=np.uint8).reshape(h, row_size)[:, :w * 3]
+        px = (px if top_down else px[::-1]).reshape(-1, 3)
+        # (N, 3) @ (3,) keeps the per-pixel dot shape (and summation
+        # order) of the old per-row (w, 3) @ (3,) exactly
+        gray = np.clip(np.round(px @ wts), 0, 255).astype(np.uint8)
+        return gray.reshape(h, w)
     raise ValueError(f"unsupported BMP bpp={bpp}")
 
 

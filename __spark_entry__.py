@@ -1579,8 +1579,12 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan survives a corpus where one language is half the data.
     The approx path would swap in approx_percentile without changing
     the output contract."""
-    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "lang",
-                                                      "text"), "doc_id")
+    # NOT spread: the tokenizing projection feeds a (lang, n_tokens)
+    # histogram agg whose map side is already cheap — an A/B at sf1.0
+    # measured the parallelizing text shuffle costing more than the
+    # single-task split it saves (0.67 vs 0.37 s), unlike the opaque
+    # Python kernels where _spread pays for itself.
+    d = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     base = d.select("lang", toks.alias("n_tokens"))
     # Distributable shape: aggregate to the (lang, n_tokens) -> cnt

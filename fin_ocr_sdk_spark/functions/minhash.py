@@ -49,9 +49,9 @@ def poly_hashes(strs: list, mults) -> np.ndarray:
     maxlen = int(lens.max())
     ends = np.cumsum(lens)
     starts = ends - lens
-    # exponent of m for each flat char: len_i - 1 - offset_in_string
-    exps = (np.repeat(lens, lens) - 1
-            - (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)))
+    # exponent of m for each flat char j: end_of_its_string - 1 - j
+    # (one repeat instead of two — same values, fewer 100MB temporaries)
+    exps = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
     nz = lens > 0
     starts_nz = starts[nz]
     for k in range(len(m)):
@@ -72,34 +72,70 @@ def word_shingles(text: str) -> set:
 
 def band_signatures(texts: list) -> "tuple[list[int], np.ndarray]":
     """All 16 minhashes per text in one vectorized pass (tokenize →
-    shingle → base hash → 16 affine transforms → min), folded into
-    MINHASH_BANDS band signatures of 4 rows each.
+    shingle hashes by COMPOSITION → 16 affine transforms → min), folded
+    into MINHASH_BANDS band signatures of 4 rows each.
+
+    Shingle hashes are never computed from shingle strings: the
+    polynomial fold satisfies h(a||b) = (h(a)·m^|b| + h(b)) mod P, so
+    h("t0 t1 t2") composes from the per-TOKEN hashes and lengths —
+    each corpus character is hashed once instead of ~3x (shingles
+    overlap), and no shingle strings, per-doc sets or sorts are built.
+    min() over duplicate shingles is idempotent, so skipping the
+    distinct step leaves every minhash (and the signatures) identical
+    to the set-based definition the DuckDB twin uses.  All terms stay
+    < 2^60, so int64 arithmetic is exact.
 
     Returns (keep, sigs): `keep` indexes the texts that produced at
     least one 3-token shingle (shorter texts emit nothing, matching the
     SQL twin's empty GROUP BY), `sigs` is (len(keep), MINHASH_BANDS)
     int64."""
     keep: list[int] = []
-    grams_per_doc: list[list] = []
+    tok_lists: list[list] = []
     for i, text in enumerate(texts):
         # non-strings (None, and the NaN pandas surfaces for a NULL
         # text column) carry no shingles — skip, don't crash the task
-        g = word_shingles(text) if isinstance(text, str) else None
-        if g:
+        toks = (text.strip().lower().split()
+                if isinstance(text, str) else [])
+        if len(toks) >= 3:
             keep.append(i)
-            grams_per_doc.append(sorted(g))
+            tok_lists.append(toks)
     if not keep:
         return [], np.zeros((0, MINHASH_BANDS), dtype=np.int64)
-    counts = np.fromiter((len(g) for g in grams_per_doc),
-                         dtype=np.int64, count=len(grams_per_doc))
-    flat = [s for g in grams_per_doc for s in g]
-    base = poly_hashes(flat, (31,))[:, 0]               # (G,)
-    affine = (base[:, None] * _A_VEC + _B_VEC) % HASH_P  # (G, 16)
-    # per-doc minima in one segmented reduce (every kept doc has >=1
-    # shingle, so the reduceat segments are all non-empty); minimum.at
-    # scatter is ~10x slower on corpus batches
-    doc_starts = np.cumsum(counts) - counts
-    mhs = np.minimum.reduceat(affine, doc_starts, axis=0)
+    counts = np.fromiter((len(t) for t in tok_lists),
+                         dtype=np.int64, count=len(tok_lists))
+    flat = [t for toks in tok_lists for t in toks]
+    th = poly_hashes(flat, (31,))[:, 0]                  # (T,)
+    tlen = np.fromiter((len(t) for t in flat),
+                       dtype=np.int64, count=len(flat))
+    maxp = int(tlen.max()) + 1
+    pow31 = np.empty(maxp + 1, dtype=np.int64)
+    pow31[0] = 1
+    for e in range(1, maxp + 1):
+        pow31[e] = pow31[e - 1] * 31 % HASH_P
+    hsp = (32 * pow31[tlen] + th) % HASH_P               # h(" " + t)
+    # shingle s starting at flat token i: h(t_i || " t_{i+1} || " t_{i+2})
+    n_sh = counts - 2                                    # all >= 1
+    sh_starts = np.cumsum(n_sh) - n_sh
+    total_sh = int(n_sh.sum())
+    tok_starts = np.cumsum(counts) - counts
+    i0 = (np.arange(total_sh, dtype=np.int64)
+          - np.repeat(sh_starts, n_sh) + np.repeat(tok_starts, n_sh))
+    i1 = i0 + 1
+    i2 = i0 + 2
+    h01 = (th[i0] * pow31[tlen[i1] + 1] + hsp[i1]) % HASH_P
+    base = (h01 * pow31[tlen[i2] + 1] + hsp[i2]) % HASH_P
+    # 16 affine transforms + per-doc minima, one 1-D pass per hash
+    # function: the (S, 16) 2-D formulation allocated three ~130 MB
+    # temporaries and put reduceat on strided columns — measured 14x
+    # slower than this loop at corpus batch sizes.  Segments are all
+    # non-empty (every kept doc has >= 1 shingle).
+    mhs = np.empty((len(keep), MINHASH_N), dtype=np.int64)
+    tmp = np.empty(total_sh, dtype=np.int64)
+    for k in range(MINHASH_N):
+        np.multiply(base, int(_A_VEC[k]), out=tmp)
+        tmp += int(_B_VEC[k])
+        np.mod(tmp, HASH_P, out=tmp)
+        mhs[:, k] = np.minimum.reduceat(tmp, sh_starts)
     sig = np.zeros((len(keep), MINHASH_BANDS), dtype=np.int64)
     for bi in range(MINHASH_BANDS):
         s = np.zeros(len(keep), dtype=np.int64)

@@ -720,9 +720,11 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     plane = (pix.reshape(mcus_y, mcus_x, lv, lh, 8, 8)
              .transpose(0, 2, 4, 1, 3, 5)
              .reshape(plane_h, plane_w))
-    # luma plane covers ceil(w*h/hmax/vmax) scaled dims; crop to frame
-    out_h = frame["h"] * lv // vmax
-    out_w = frame["w"] * lh // hmax
+    # luma plane covers the CEIL-scaled frame dims (T.81 A.1.1: comp
+    # dims are ceil(x * h_i / hmax)); floor here silently shorted the
+    # plane by one row/col for subsampled-luma frames
+    out_h = (frame["h"] * lv + vmax - 1) // vmax
+    out_w = (frame["w"] * lh + hmax - 1) // hmax
     out = plane[:out_h, :out_w]
     if lh != hmax or lv != vmax:  # subsampled luma (rare) — nearest up
         out = np.repeat(np.repeat(out, vmax // lv, axis=0),
@@ -1018,8 +1020,9 @@ def _finish_progressive(frame: dict, quants: dict,
              .reshape(bh * 8, bw * 8))
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    out_h = frame["h"] * luma["v"] // vmax
-    out_w = frame["w"] * luma["h"] // hmax
+    # ceil scaling per T.81 A.1.1 — same fix as the baseline tail
+    out_h = (frame["h"] * luma["v"] + vmax - 1) // vmax
+    out_w = (frame["w"] * luma["h"] + hmax - 1) // hmax
     out = plane[:out_h, :out_w]
     if luma["h"] != hmax or luma["v"] != vmax:
         out = np.repeat(np.repeat(out, vmax // luma["v"], axis=0),

@@ -264,6 +264,7 @@ def encode_pdf_15(pages: "list[str]") -> bytes:
 
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+) 0 obj")
+_OBJ_HEAD_ANY_GEN_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _LENGTH_RE = re.compile(rb"/Length (\d+)")
 _CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
@@ -363,6 +364,13 @@ def _tokenize_content(data: bytes):
         elif b == 0x2F:  # / — consume the full name token, yield nothing
             j = i + 1
             while j < n and data[j] not in _NAME_END:
+                j += 1
+            i = j
+        elif b == 0x25:  # % — comment runs to end of line (PDF 7.2.4);
+            # without this a comment containing '(' or an operator word
+            # would inject text/ops into the replay
+            j = i + 1
+            while j < n and data[j] not in (0x0A, 0x0D):
                 j += 1
             i = j
         elif (0x41 <= b <= 0x5A) or (0x61 <= b <= 0x7A) or b in (0x27, 0x2A):
@@ -510,7 +518,12 @@ def extract_pdf_text(data: bytes) -> "list[str]":
     streams: dict[int, bytes] = {}
     stream_heads: dict[int, bytes] = {}
     page_content: list[list[int]] = []
-    known: set[int] = set()
+    # `known` feeds only the xref absent-object consistency check; it
+    # must see headers of ANY generation (incremental updates write
+    # "N M obj" with M > 0) or a valid updated file fails as corrupt.
+    # The extraction walk below still targets generation-0 headers.
+    known: set[int] = {int(m.group(1))
+                       for m in _OBJ_HEAD_ANY_GEN_RE.finditer(data)}
     # object walk honoring /Length: stream BYTES are sliced by the
     # declared length, never by searching for 'endstream'/'endobj' —
     # compressed output can legally contain either byte sequence, and

@@ -217,3 +217,28 @@ def test_pdf_hex_strings_and_line_continuations():
     # line continuation: no character; \r\n counts as one newline
     assert _stream_text(b"BT (ab\\\ncd) Tj ET") == "abcd"
     assert _stream_text(b"BT (ab\\\r\ncd) Tj ET") == "abcd"
+
+
+def test_pdf_content_comments_are_inert():
+    """'%' starts a comment through end-of-line (PDF 7.2.4): string
+    opens and operator words inside a comment must not reach the text
+    replay."""
+    from fin_ocr_sdk_spark.sources.pdf import _stream_text
+    s = b"BT % sneaky (not text) Tj\n(real) Tj ET"
+    assert _stream_text(s) == "real"
+    # comment ending at \r, and a comment that opens a paren it never
+    # closes (would otherwise swallow the rest of the stream)
+    assert _stream_text(b"BT %(\r(a) Tj ET") == "a"
+
+
+def test_pdf_incremental_update_generation_not_flagged_absent():
+    """An in-use object whose only header carries generation > 0 (the
+    incremental-update shape) must not fail the xref consistency check
+    — the check builds its known set from headers of ANY generation."""
+    import re
+
+    from fin_ocr_sdk_spark.sources.pdf import encode_pdf_15
+    blob = encode_pdf_15(["hello world", "second page"])
+    assert re.search(rb"2 0 obj", blob)
+    bumped = blob.replace(b"2 0 obj", b"2 1 obj", 1)  # same byte length
+    assert extract_pdf_text(bumped) == ["hello world", "second page"]

@@ -646,6 +646,30 @@ def skew_angle_from_rect(width: float, height: float, angle: float) -> float:
 
 # ------------------------------------------------ connected components
 
+class _LazyLabels:
+    """Deferred label-image paint, shared by every Region of one
+    labeling.  Most find_regions consumers only read rects/areas (now
+    aggregated from the run table), so the cumsum paint of the full
+    label image runs only when some Region actually indexes pixels
+    (mask / points_in_rect / minmax_x_in_yrange) — and then once,
+    cached for all Regions of the call."""
+
+    __slots__ = ("_paint", "_arr", "shape")
+
+    def __init__(self, paint, shape):
+        self._paint = paint
+        self._arr = None
+        self.shape = shape
+
+    def materialize(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = self._paint()
+        return self._arr
+
+    def __getitem__(self, key):
+        return self.materialize()[key]
+
+
 @dataclass
 class Region:
     """One connected component of set pixels — the analog of the
@@ -710,7 +734,7 @@ def label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected component labeling of set (non-zero) pixels.
     Returns (labels, count); see :func:`_label_runs`."""
     labels, count, _runs = _label_runs(binary)
-    return labels, count
+    return labels.materialize(), count
 
 
 def _label_runs(binary: np.ndarray):
@@ -720,14 +744,14 @@ def _label_runs(binary: np.ndarray):
     vectorized diff over the row-padded flat mask (no per-row python),
     matched against the previous row's runs with a two-pointer sweep,
     and painted back via a cumsum delta.  Returns (labels, count, runs)
-    where labels is int32 with 0 = background, 1..count = components,
-    and runs = (rows, x0s, x1s, final) describes every horizontal run
-    (x1 exclusive) with its dense component label — the run table lets
-    :func:`find_regions` build bounding rects without re-scanning
-    pixels.
+    where labels is a LAZY int32 image (0 = background, 1..count =
+    components; the paint runs on first pixel access — see
+    :class:`_LazyLabels`), and runs = (rows, x0s, x1s, final) describes
+    every horizontal run (x1 exclusive) with its dense component label
+    — the run table lets :func:`find_regions` build bounding rects
+    without re-scanning pixels.
     """
     h, w = binary.shape
-    labels = np.zeros((h, w), dtype=np.int32)
     # pad a False column after each row so runs cannot cross rows
     padded = np.zeros((h, w + 1), dtype=np.int8)
     padded[:, :w] = binary > 0
@@ -740,7 +764,9 @@ def _label_runs(binary: np.ndarray):
     n = len(starts)
     if n == 0:
         empty = np.zeros(0, dtype=np.int64)
-        return labels, 0, (empty, empty, empty, empty)
+        zeros = _LazyLabels(
+            lambda: np.zeros((h, w), dtype=np.int32), (h, w))
+        return zeros, 0, (empty, empty, empty, empty)
     stride = w + 1
     rows = starts // stride
     x0s = starts - rows * stride
@@ -800,12 +826,16 @@ def _label_runs(binary: np.ndarray):
     remap = np.zeros(int(uniq.max()) + 1, dtype=np.int32)
     remap[uniq] = np.arange(1, len(uniq) + 1)
     final = remap[roots]
-    # paint via cumsum deltas (runs are disjoint in the flat space)
-    delta = np.zeros(h * stride + 1, dtype=np.int32)
-    np.add.at(delta, starts, final)
-    np.add.at(delta, ends, -final)
-    labels = np.cumsum(delta[:-1]).reshape(h, stride)[:, :w].astype(np.int32)
-    return labels, len(uniq), (rows, x0s, x1s, final.astype(np.int64))
+    def paint() -> np.ndarray:
+        # paint via cumsum deltas (runs are disjoint in the flat space)
+        delta = np.zeros(h * stride + 1, dtype=np.int32)
+        np.add.at(delta, starts, final)
+        np.add.at(delta, ends, -final)
+        return (np.cumsum(delta[:-1]).reshape(h, stride)[:, :w]
+                .astype(np.int32))
+
+    return (_LazyLabels(paint, (h, w)), len(uniq),
+            (rows, x0s, x1s, final.astype(np.int64)))
 
 
 def find_regions(binary: np.ndarray, sort_by_x: bool = True) -> list[Region]:

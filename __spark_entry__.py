@@ -1502,8 +1502,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    d = _spread(_t(spark, sf_dir, "documents")
-                .select("doc_id", "lang", "text"), "doc_id")
+    # NOT spread: the (lang, shard) groupBy exchange already spreads
+    # the pack kernel, and an A/B at both scales measured the extra
+    # parallelizing text shuffle a clear loss at sf0.1 (0.95 vs 0.56 s)
+    # and a wash at sf1.0 — the tokenizing projection is cheap enough
+    # to stay in the scan task.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     shard = ((F.col("doc_id") % F.lit(2147483647)) * F.lit(48271)
              % F.lit(2147483647) % F.lit(_PACK_SHARDS)).cast("long")

@@ -157,8 +157,17 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
     pos = 0
     n = len(data)
 
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # the hot loop runs once per output code: keep the table length and
+    # the code-size-derived constants in locals (len()/shift per code
+    # measurably dominated), and rebuild the base table by copy
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
+    tlen = clear + 2
+    mask = (1 << code_size) - 1
+    grow_at = 1 << code_size
     out: list[bytes] = []
+    out_append = out.append
+    table_append = table.append
     prev: bytes | None = None
     total = 0
     while total < expect:
@@ -170,29 +179,37 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
             nbits += 8
         if nbits < code_size:
             break
-        code = acc & ((1 << code_size) - 1)
+        code = acc & mask
         acc >>= code_size
         nbits -= code_size
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = base.copy()
+            table_append = table.append
+            tlen = clear + 2
             code_size = min_code_size + 1
+            mask = (1 << code_size) - 1
+            grow_at = 1 << code_size
             prev = None
             continue
         if code == eoi:
             break
-        if code < len(table):
+        if code < tlen:
             entry = table[code]
             if prev is not None:
-                table.append(prev + entry[:1])
-        elif code == len(table) and prev is not None:
+                table_append(prev + entry[:1])
+                tlen += 1
+        elif code == tlen and prev is not None:
             entry = prev + prev[:1]
-            table.append(entry)
+            table_append(entry)
+            tlen += 1
         else:
             raise ValueError("corrupt GIF LZW stream")
-        out.append(entry)
+        out_append(entry)
         total += len(entry)
         prev = entry
-        if len(table) == (1 << code_size) and code_size < 12:
+        if tlen == grow_at and code_size < 12:
             code_size += 1
+            mask = (1 << code_size) - 1
+            grow_at <<= 1
     flat = b"".join(out)[:expect]
     return np.frombuffer(flat, dtype=np.uint8).copy()

@@ -580,12 +580,16 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     cur = bytearray()
     i = pos
     n = len(data)
+    # bulk-copy the stretches between 0xFF bytes (find() is C-speed;
+    # the previous per-byte append loop dominated entropy splitting)
     while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
+        j = data.find(b"\xff", i)
+        if j == -1:
+            cur += data[i:n]
+            i = n
+            break
+        cur += data[i:j]
+        i = j
         nxt = data[i + 1] if i + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)
@@ -801,6 +805,11 @@ def _init_prog(frame: dict) -> dict:
         "mcus_x": mcus_x, "mcus_y": mcus_y, "bw": bw, "bh": bh,
         "luma_id": luma["id"],
         "blocks": [[0] * 64 for _ in range(bw * bh)],
+        # per-block count of nonzero AC coefficients set so far: lets
+        # the refinement EOB sweep skip all-zero blocks in O(1) — they
+        # consume no correction bits (T.81 G.1.2.3), so skipping them
+        # is bit-exact
+        "nz": [0] * (bw * bh),
     }
 
 
@@ -814,80 +823,191 @@ def _comp_block_dims(frame: dict, comp: dict) -> tuple[int, int]:
     return (cw + 7) // 8, (ch + 7) // 8
 
 
-def _ac_first(r: _ScanReader, block: list, ss: int, se: int, al: int,
-              len16: list, sym16: list, eobrun: int) -> int:
-    """AC first pass (T.81 G.1.2.2): run-length + magnitude at Al
-    precision, with EOB runs spanning blocks."""
-    if eobrun:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        rs = r.huff(len16, sym16)
-        rr = rs >> 4
-        s = rs & 15
-        if s:
-            k += rr
-            if k > se:
-                raise ValueError("AC coefficient past band end")
-            block[k] = r.receive_extend(s) << al
-            k += 1
-        else:
-            if rr < 15:
-                eobrun = (1 << rr) - 1
-                if rr:
-                    eobrun += r.bits(rr)
-                break
-            k += 16   # ZRL
-    return eobrun
+def _ac_first_run(r: _ScanReader, blocks: list, nz: list, idxs: list,
+                  u0: int, u1: int, ss: int, se: int, al: int,
+                  len16: list, sym16: list) -> None:
+    """AC first pass (T.81 G.1.2.2) over blocks idxs[u0:u1]: run-length
+    + magnitude at Al precision, with EOB runs spanning blocks.
 
-
-def _ac_refine(r: _ScanReader, block: list, ss: int, se: int, al: int,
-               len16: list, sym16: list, eobrun: int) -> int:
-    """AC refinement pass (T.81 G.1.2.3, control flow after libjpeg's
-    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1<<Al,
-    already-nonzero coefficients absorb one correction bit each as the
-    zero-run / EOB-run passes over them.  Python's infinite-precision
-    ints share C's two's-complement ``&`` semantics, so the
-    ``coef & p1`` history test matches bit-for-bit."""
-    p1 = 1 << al
-    m1 = -p1
-    k = ss
-    if eobrun == 0:
+    The bit reader is INLINED on local variables and the whole restart
+    segment's block loop lives inside one call (the same trick the
+    baseline ``_decode_scan`` uses): the per-(block, scan) method-call
+    and state-sync overhead dominated the progressive decode.  The bit
+    arithmetic is copied verbatim from _ScanReader, so the decoded
+    stream is bit-identical (progressive-vs-baseline pixel-equality
+    tests pin this).  ``nz`` counts the nonzero AC coefficients each
+    block has accumulated (every magnitude decoded here is nonzero —
+    receive/extend of s >= 1 bits never yields 0)."""
+    d, n = r.d, r.n
+    pos, acc, nbits = r.pos, r.acc, r.nbits
+    eobrun = 0
+    for u in range(u0, u1):
+        if eobrun:
+            eobrun -= 1
+            continue
+        bi = idxs[u]
+        block = blocks[bi]
+        nzc = nz[bi]
+        k = ss
         while k <= se:
-            rs = r.huff(len16, sym16)
+            if nbits < 16:
+                while nbits < 32:
+                    acc = (acc << 8) | (d[pos] if pos < n else 0)
+                    pos += 1
+                    nbits += 8
+                acc &= (1 << nbits) - 1
+            code = (acc >> (nbits - 16)) & 0xFFFF
+            length = len16[code]
+            if not length:
+                raise ValueError("bad Huffman code")
+            nbits -= length
+            rs = sym16[code]
             rr = rs >> 4
             s = rs & 15
-            newval = 0
             if s:
-                if s != 1:
-                    raise ValueError("bad AC refinement symbol")
-                newval = p1 if r.bits(1) else m1
-            elif rr != 15:
-                eobrun = 1 << rr
-                if rr:
-                    eobrun += r.bits(rr)
-                break
-            while k <= se:
-                cur = block[k]
-                if cur:
-                    if r.bits(1) and not (cur & p1):
-                        block[k] = cur + (p1 if cur >= 0 else m1)
-                else:
-                    if rr == 0:
-                        break
-                    rr -= 1
+                k += rr
+                if k > se:
+                    raise ValueError("AC coefficient past band end")
+                if nbits < s:
+                    while nbits < 32:
+                        acc = (acc << 8) | (d[pos] if pos < n else 0)
+                        pos += 1
+                        nbits += 8
+                    acc &= (1 << nbits) - 1
+                nbits -= s
+                v = (acc >> nbits) & ((1 << s) - 1)
+                if v < (1 << (s - 1)):
+                    v = v - (1 << s) + 1
+                block[k] = v << al
+                nzc += 1
                 k += 1
-            if newval and k <= se:
-                block[k] = newval
-            k += 1
-    if eobrun:
-        while k <= se:
-            cur = block[k]
-            if cur and r.bits(1) and not (cur & p1):
-                block[k] = cur + (p1 if cur >= 0 else m1)
-            k += 1
-        eobrun -= 1
-    return eobrun
+            else:
+                if rr < 15:
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        if nbits < rr:
+                            while nbits < 32:
+                                acc = ((acc << 8)
+                                       | (d[pos] if pos < n else 0))
+                                pos += 1
+                                nbits += 8
+                            acc &= (1 << nbits) - 1
+                        nbits -= rr
+                        eobrun += (acc >> nbits) & ((1 << rr) - 1)
+                    break
+                k += 16   # ZRL
+        nz[bi] = nzc
+    r.pos, r.acc, r.nbits = pos, acc, nbits
+
+
+def _ac_refine_run(r: _ScanReader, blocks: list, nz: list, idxs: list,
+                   u0: int, u1: int, ss: int, se: int, al: int,
+                   len16: list, sym16: list) -> None:
+    """AC refinement pass (T.81 G.1.2.3, control flow after libjpeg's
+    decode_mcu_AC_refine) over blocks idxs[u0:u1]: newly-nonzero
+    coefficients arrive as ±1<<Al, already-nonzero coefficients absorb
+    one correction bit each as the zero-run / EOB-run passes over them.
+    Python's infinite-precision ints share C's two's-complement ``&``
+    semantics, so the ``coef & p1`` history test matches bit-for-bit.
+    Bit reader inlined on locals — see _ac_first_run.  Blocks with no
+    nonzero AC coefficients are skipped in O(1) under an EOB run: the
+    correction sweep only consumes bits at nonzero coefficients, so
+    the skip is bit-exact."""
+    p1 = 1 << al
+    m1 = -p1
+    d, n = r.d, r.n
+    pos, acc, nbits = r.pos, r.acc, r.nbits
+    eobrun = 0
+    for u in range(u0, u1):
+        bi = idxs[u]
+        if eobrun and not nz[bi]:
+            eobrun -= 1
+            continue
+        block = blocks[bi]
+        nzc = nz[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                if nbits < 16:
+                    while nbits < 32:
+                        acc = (acc << 8) | (d[pos] if pos < n else 0)
+                        pos += 1
+                        nbits += 8
+                    acc &= (1 << nbits) - 1
+                code = (acc >> (nbits - 16)) & 0xFFFF
+                length = len16[code]
+                if not length:
+                    raise ValueError("bad Huffman code")
+                nbits -= length
+                rs = sym16[code]
+                rr = rs >> 4
+                s = rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    if nbits < 1:
+                        while nbits < 32:
+                            acc = (acc << 8) | (d[pos] if pos < n else 0)
+                            pos += 1
+                            nbits += 8
+                        acc &= (1 << nbits) - 1
+                    nbits -= 1
+                    newval = p1 if (acc >> nbits) & 1 else m1
+                elif rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        if nbits < rr:
+                            while nbits < 32:
+                                acc = ((acc << 8)
+                                       | (d[pos] if pos < n else 0))
+                                pos += 1
+                                nbits += 8
+                            acc &= (1 << nbits) - 1
+                        nbits -= rr
+                        eobrun += (acc >> nbits) & ((1 << rr) - 1)
+                    break
+                while k <= se:
+                    cur = block[k]
+                    if cur:
+                        if nbits < 1:
+                            while nbits < 32:
+                                acc = ((acc << 8)
+                                       | (d[pos] if pos < n else 0))
+                                pos += 1
+                                nbits += 8
+                            acc &= (1 << nbits) - 1
+                        nbits -= 1
+                        if ((acc >> nbits) & 1) and not (cur & p1):
+                            block[k] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    block[k] = newval
+                    nzc += 1
+                k += 1
+        if eobrun:
+            if nzc:
+                while k <= se:
+                    cur = block[k]
+                    if cur:
+                        if nbits < 1:
+                            while nbits < 32:
+                                acc = ((acc << 8)
+                                       | (d[pos] if pos < n else 0))
+                                pos += 1
+                                nbits += 8
+                            acc &= (1 << nbits) - 1
+                        nbits -= 1
+                        if ((acc >> nbits) & 1) and not (cur & p1):
+                            block[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+            eobrun -= 1
+        nz[bi] = nzc
+    r.pos, r.acc, r.nbits = pos, acc, nbits
 
 
 def _decode_prog_scan(data: bytes, pos: int, frame: dict, scan: list,
@@ -980,22 +1100,24 @@ def _decode_prog_scan(data: bytes, pos: int, frame: dict, scan: list,
     t = huff_ac[ac_id]
     len16, sym16 = t.len16, t.sym16
     cbw, cbh = _comp_block_dims(frame, comp)
-    eobrun = 0
-    for u in range(cbw * cbh):
-        if restart_interval and u and u % restart_interval == 0:
+    nunits = cbw * cbh
+    idxs = [(u // cbw) * grid_w + (u % cbw) for u in range(nunits)]
+    nz = prog["nz"]
+    run_fn = _ac_first_run if ah == 0 else _ac_refine_run
+    # restart segments reset both the entropy state and the EOB run;
+    # each chunk is one run-function call with the bit reader held in
+    # locals across its blocks
+    step = restart_interval if restart_interval else nunits
+    u0 = 0
+    while u0 < nunits:
+        if u0:
             nxt = next(seg_iter, None)
             if nxt is None:
                 raise ValueError("missing restart segment")
             reader = _ScanReader(nxt)
-            eobrun = 0
-        by, bx = divmod(u, cbw)
-        block = blocks[by * grid_w + bx]
-        if ah == 0:
-            eobrun = _ac_first(reader, block, ss, se, al,
-                               len16, sym16, eobrun)
-        else:
-            eobrun = _ac_refine(reader, block, ss, se, al,
-                                len16, sym16, eobrun)
+        run_fn(reader, blocks, nz, idxs, u0, min(u0 + step, nunits),
+               ss, se, al, len16, sym16)
+        u0 += step
     return end
 
 

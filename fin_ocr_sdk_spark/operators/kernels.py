@@ -611,29 +611,29 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float]:
         if ang < 90:
             return (length, 0.0, ang)
         return (0.0, length, ang - 90)
-    best = None
-    n = len(hull)
-    for i in range(n):
-        e = hull[(i + 1) % n] - hull[i]
-        norm = np.hypot(*e)
-        if norm == 0:
-            continue
-        ux, uy = e / norm
-        # project hull onto edge direction u and normal v
-        proj_u = hull @ np.array([ux, uy])
-        proj_v = hull @ np.array([-uy, ux])
-        wid = proj_u.max() - proj_u.min()
-        hei = proj_v.max() - proj_v.min()
-        area = wid * hei
-        if best is None or area < best[0]:
-            ang = math.degrees(math.atan2(uy, ux)) % 180
-            # normalize so angle is in [0, 90), swapping w/h as needed
-            if ang >= 90:
-                ang -= 90
-                wid, hei = hei, wid
-            best = (area, wid, hei, ang)
-    assert best is not None
-    return (float(best[1]), float(best[2]), float(best[3]))
+    # all caliper edges at once: each projection element is the same
+    # two-term dot (x*ux + y*uy) the per-edge loop computed, and
+    # argmin picks the FIRST minimum exactly like the loop's strict
+    # '<', so the chosen edge (and hence the angle) is bit-identical
+    e = np.roll(hull, -1, axis=0) - hull            # (n, 2)
+    norms = np.hypot(e[:, 0], e[:, 1])
+    valid = norms != 0
+    if not valid.any():
+        return (0.0, 0.0, 0.0)
+    u = e[valid] / norms[valid, None]               # (m, 2) unit edges
+    pu = u @ hull.T                                 # (m, N)
+    pv = np.column_stack([-u[:, 1], u[:, 0]]) @ hull.T
+    wid = pu.max(axis=1) - pu.min(axis=1)
+    hei = pv.max(axis=1) - pv.min(axis=1)
+    area = wid * hei
+    i = int(area.argmin())
+    w_i, h_i = float(wid[i]), float(hei[i])
+    ang = math.degrees(math.atan2(u[i, 1], u[i, 0])) % 180
+    # normalize so angle is in [0, 90), swapping w/h as needed
+    if ang >= 90:
+        ang -= 90
+        w_i, h_i = h_i, w_i
+    return (w_i, h_i, ang)
 
 
 def skew_angle_from_rect(width: float, height: float, angle: float) -> float:
